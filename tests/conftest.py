@@ -8,9 +8,15 @@ Must be set before jax initializes a backend, hence module-level here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# some environments register an accelerator plugin that programmatically
+# overrides jax_platforms; force CPU regardless
+jax.config.update("jax_platforms", "cpu")
