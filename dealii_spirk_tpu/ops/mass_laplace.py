@@ -33,8 +33,8 @@ class LevelOps(NamedTuple):
 
     mass_band: jnp.ndarray  # (2p+1, m)
     stiff_band: jnp.ndarray  # (2p+1, m)
-    mass_dense: jnp.ndarray  # (m, m)
-    stiff_dense: jnp.ndarray  # (m, m)
+    mass_dense: jnp.ndarray | None  # (m, m); only in "dense" mode
+    stiff_dense: jnp.ndarray | None  # (m, m)
     mass_diag: jnp.ndarray  # (m,)
     stiff_diag: jnp.ndarray  # (m,)
 
@@ -43,12 +43,18 @@ class LevelOps(NamedTuple):
         return self.mass_band.shape[1]
 
 
-def level_ops(level: Level1D, dtype=jnp.float64) -> LevelOps:
+def level_ops(
+    level: Level1D, dtype=jnp.float64, with_dense: bool = True
+) -> LevelOps:
     return LevelOps(
         mass_band=jnp.asarray(level.mass_band, dtype=dtype),
         stiff_band=jnp.asarray(level.stiff_band, dtype=dtype),
-        mass_dense=jnp.asarray(level.mass_dense, dtype=dtype),
-        stiff_dense=jnp.asarray(level.stiff_dense, dtype=dtype),
+        mass_dense=(
+            jnp.asarray(level.mass_dense, dtype=dtype) if with_dense else None
+        ),
+        stiff_dense=(
+            jnp.asarray(level.stiff_dense, dtype=dtype) if with_dense else None
+        ),
         mass_diag=jnp.asarray(level.mass_diag, dtype=dtype),
         stiff_diag=jnp.asarray(level.stiff_diag, dtype=dtype),
     )

@@ -1,0 +1,101 @@
+"""Shared scheme machinery: statistics, timers, preconditioner caching.
+
+Mirrors ``TimeIntegrationSchemes::Interface`` + ``IRKBase`` (reference
+``main.cc:455-764``): each scheme exposes ``solve_step`` and
+``get_statistics``; phase timers and iteration counters reset after the
+first timestep (preconditioner setup exclusion, reference
+``main.cc:971-973``) and statistics are normalized per timestep.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import Parameters
+from ..problem import HeatProblem
+from ..solvers.gmg import build_gmg_data
+from ..utils.timer import PhaseTimers
+
+
+class SchemeBase:
+    def __init__(self, problem: HeatProblem, params: Parameters):
+        self.problem = problem
+        self.params = params
+        self.dim = problem.space.dim
+        self.mode = params.operator_mode
+        self.dtype = problem.dtype
+        self.gmg = build_gmg_data(
+            problem.space,
+            dtype=self.dtype,
+            with_dense=(self.mode == "dense"),
+        )
+        self.fine = self.gmg.level_ops[-1]
+        self.timers = PhaseTimers()
+        self.n_outer = 0.0
+        self.n_inner = 0.0
+        self._tau_cached: float | None = None
+        self._prec = None
+
+    # -- preconditioner lifecycle -------------------------------------------
+    def _reinit(self, tau: float):
+        """Subclasses: build the tau-dependent preconditioner state."""
+        raise NotImplementedError
+
+    def prec_state(self, tau: float):
+        """Lazily rebuild on time-step change (reference main.cc:823-851)."""
+        if self._prec is None or self._tau_cached != tau:
+            self._prec = self._reinit(tau)
+            self._tau_cached = tau
+        return self._prec
+
+    # -- statistics ----------------------------------------------------------
+    def clear_statistics(self) -> None:
+        self.timers.clear()
+        self.n_outer = 0.0
+        self.n_inner = 0.0
+
+    def after_step(self, timestep_number: int) -> None:
+        if timestep_number == 1:
+            self.clear_statistics()
+
+    def get_statistics(self, table, scaling_factor: float = 1.0) -> None:
+        s = max(scaling_factor, 1.0)
+        for col, val in (
+            ("n_outer", self.n_outer / s),
+            ("n_inner", self.n_inner / s),
+        ):
+            # single-host run: min == avg == max (the reference reports the
+            # spread over MPI ranks, main.cc:692-704)
+            for suffix in ("min", "avg", "max"):
+                table.add_value(f"{col}_{suffix}", round(val, 2))
+        t = self.timers.seconds
+        for col, key in (
+            ("t", "total"),
+            ("t_rhs", "rhs"),
+            ("t_solver", "outer_solver"),
+            ("t_update", "solution_update"),
+            ("t_vmult", "system_vmult"),
+            ("t_prec_bc", "preconditioner_bc"),
+            ("t_prec_solver", "preconditioner_solver"),
+        ):
+            table.add_value(col, t[key] / s)
+            table.set_scientific(col, True)
+
+    # -- interface -----------------------------------------------------------
+    def solve_step(self, u, timestep_number: int, t: float, tau: float):
+        raise NotImplementedError
+
+
+def stage_times_factor(c_vec, t, tau, dim):
+    """Per-stage forcing time factors g(t + (c_i - 1) tau) (reference
+    ``main.cc:867-869``)."""
+    from ..fem.functions import rhs_time_factor
+
+    return rhs_time_factor(t + (c_vec - 1.0) * tau, dim)
+
+
+def stage_mix(mat, W):
+    """Dense stage mixing ``out_i = sum_j mat[i, j] W_j`` — the reference's
+    basis change (ring rotation in SPIRK, reference ``main.cc:1443-1534``)
+    as a tiny einsum over the stage axis."""
+    return jnp.einsum("ij,j...->i...", mat, W)

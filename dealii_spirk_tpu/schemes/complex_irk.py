@@ -1,0 +1,220 @@
+"""Complex-diagonalized IRK — ``complex_irk(_batched)`` /
+``complex_spirk(_batched)``.
+
+Mathematics (reference ``main.cc:1886-2375`` and ``main.cc:2382-2934``):
+the stage system is diagonalized *exactly* with the complex
+eigendecomposition ``A^{-1} = V diag(lambda) V^{-1}``, so there is no
+outer Krylov iteration — one application of the complex preconditioner IS
+the solve (reference ``main.cc:2029``):
+
+1. apply complex ``T^{-1}`` to the q real stage right-hand sides, keeping
+   one representative per conjugate pair: ceil(q/2) (re, im) pair blocks
+   (reference ``main.cc:2149-2155``);
+2. for each pair, solve ``((lambda_re + i lambda_im) M + tau K) w = z`` in
+   2x2 real-block form by GMRES to OuterTolerance, preconditioned by PRESB
+   (two shifted-GMG solves per application, reference ``main.cc:2284-2335``)
+   or by a block GMG V-cycle in the ``_batched`` variant;
+3. map back with the conjugate-pair doubling ``2 Re(T w)`` (reference
+   ``main.cc:2216-2225``).
+
+TPU realization: the pair axis is a masked-batched GMRES lane axis (each
+pair keeps its own iteration count — matching the reference's sequential
+per-pair solves) or a device-mesh axis (``complex_spirk``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import irk_tables
+from ..ops.mass_laplace import apply_complex, apply_mass, apply_shifted, \
+    apply_stiffness
+from ..solvers.gmg import gmg_reinit, vcycle
+from ..solvers.krylov import gmres, pcg
+from .base import SchemeBase, stage_mix, stage_times_factor
+
+
+class ComplexIRK(SchemeBase):
+    def __init__(self, problem, params, mesh=None):
+        super().__init__(problem, params)
+        self.mesh = mesh
+        q = params.irk_stages
+        self.q = q
+        tabs = irk_tables(q)
+        n2 = tabs.n_pairs
+        self.n_pairs = n2
+        dt = self.dtype
+
+        A_inv = jnp.asarray(tabs.A_inv, dtype=dt)
+        b_vec = jnp.asarray(tabs.b, dtype=dt)
+        c_vec = jnp.asarray(tabs.c, dtype=dt)
+        # pair representatives: rows/columns at even indices
+        T_inv_re2 = jnp.asarray(tabs.T_inv_re[::2], dtype=dt)  # (n2, q)
+        T_inv_im2 = jnp.asarray(tabs.T_inv_im[::2], dtype=dt)
+        d_re2 = jnp.asarray(tabs.D_re[::2], dtype=dt)  # (n2,)
+        d_im2 = jnp.asarray(tabs.D_im[::2], dtype=dt)
+        # back map with conjugate doubling (reference main.cc:2216-2225)
+        scal = np.where(np.arange(n2) < q // 2, 2.0, 1.0)
+        T_re_s = jnp.asarray(tabs.T_re[:, ::2] * scal, dtype=dt)  # (q, n2)
+        T_im_s = jnp.asarray(tabs.T_im[:, ::2] * scal, dtype=dt)
+
+        gmg, fine = self.gmg, self.fine
+        dim, mode = self.dim, self.mode
+        load = problem.load
+        inner_tol = params.inner_tolerance
+        outer_tol = params.outer_tolerance
+        batched = params.is_batched
+        shard = self._shard_pair
+
+        shifts = d_re2 + d_im2  # PRESB / block-GMG shifts (main.cc:1959)
+        mass_b = jax.vmap(lambda w: apply_mass(fine, w, dim, mode))
+        shifted_b = jax.vmap(
+            lambda si, wi, tau: apply_shifted(fine, si, tau, wi, dim, mode),
+            in_axes=(0, 0, None),
+        )
+        complex_b = jax.vmap(
+            lambda re_, im_, z, tau: apply_complex(
+                fine, re_, im_, tau, z, dim, mode
+            ),
+            in_axes=(0, 0, 0, None),
+        )
+
+        def reinit(tau):
+            if batched:
+                # block GMG: both (re, im) components share the pair's shift
+                shifts_rep = jnp.repeat(shifts, 2)
+                return gmg_reinit(gmg, shifts_rep, tau, dim, mode, batch=True)
+            return gmg_reinit(gmg, shifts, tau, dim, mode, batch=True)
+
+        def rhs_fn(u, t, tau):
+            tf = stage_times_factor(c_vec, t, tau, dim).astype(dt)
+            W = tf.reshape((q,) + (1,) * dim) * load[None]
+            W = W - apply_stiffness(fine, u, dim, mode)[None]
+            return stage_mix(A_inv, W)
+
+        def inner_solve(rhs_pairs, prec, tau):
+            """Solve (shift_i M + tau K) x = rhs for all pairs at once."""
+            if inner_tol == 0.0:
+                x = vcycle(
+                    gmg, prec, shifts, tau, rhs_pairs, dim, mode, batch=True
+                )
+                return x, jnp.ones((rhs_pairs.shape[0],), jnp.int32)
+            res = pcg(
+                lambda Wb: shifted_b(shifts, Wb, tau),
+                rhs_pairs,
+                M=lambda r: vcycle(
+                    gmg, prec, shifts, tau, r, dim, mode, batch=True
+                ),
+                maxiter=100,
+                # the reference PRESB uses an *absolute* SolverControl
+                # tolerance here (main.cc:2302)
+                abstol=inner_tol,
+                batch=True,
+            )
+            return res.x, res.n_iterations
+
+        def solve_fn(W_rhs, prec, tau):
+            # complex T^{-1}: q real blocks -> n2 (re, im) pairs
+            Z = jnp.stack(
+                [stage_mix(T_inv_re2, W_rhs), stage_mix(T_inv_im2, W_rhs)],
+                axis=1,
+            )  # (n2, 2, *spatial)
+            Z = shard(Z)
+
+            def Aop(Zv):
+                return shard(complex_b(d_re2, d_im2, shard(Zv), tau))
+
+            if batched:
+
+                def Mop(v, carry):
+                    vv = v.reshape((n2 * 2,) + v.shape[2:])
+                    out = vcycle(
+                        gmg,
+                        prec,
+                        jnp.repeat(shifts, 2),
+                        tau,
+                        vv,
+                        dim,
+                        mode,
+                        batch=True,
+                    )
+                    return shard(out.reshape(v.shape)), carry + 1
+
+                carry0 = jnp.zeros((n2, 2), jnp.int32)
+            else:
+
+                def Mop(v, carry):
+                    """PRESB (reference main.cc:2284-2335):
+                    x0 ~ (S)^{-1}(v_re + v_im);  S = (l_re + l_im) M + tau K
+                    x1 ~ (S)^{-1}(v_im - l_im M x0);  out = (x0 - x1, x1)."""
+                    v = shard(v)
+                    t0 = v[:, 0] + v[:, 1]
+                    x0, c0 = inner_solve(t0, prec, tau)
+                    lam = d_im2.reshape((n2,) + (1,) * dim)
+                    t1 = v[:, 1] - lam * mass_b(x0)
+                    x1, c1 = inner_solve(t1, prec, tau)
+                    out = jnp.stack([x0 - x1, x1], axis=1)
+                    return shard(out), carry + jnp.stack([c0, c1], axis=1)
+
+                carry0 = jnp.zeros((n2, 2), jnp.int32)
+
+            res = gmres(
+                Aop,
+                Z,
+                M=Mop,
+                M_carry=carry0,
+                maxiter=1000,
+                abstol=1e-20,
+                reltol=outer_tol,
+                restart=28,
+                batch=True,
+            )
+            zr, zi = res.x[:, 0], res.x[:, 1]
+            W = jnp.einsum("ji,i...->j...", T_re_s, zr) - jnp.einsum(
+                "ji,i...->j...", T_im_s, zi
+            )
+            return W, res.n_iterations, res.M_carry
+
+        def update_fn(u, W, tau):
+            return u + tau * jnp.einsum("i,i...->...", b_vec, W)
+
+        self._reinit_jit = jax.jit(reinit)
+        self._rhs_jit = jax.jit(rhs_fn)
+        self._solve_jit = jax.jit(solve_fn)
+        self._update_jit = jax.jit(update_fn)
+
+    def _shard_pair(self, Z):
+        if self.mesh is None:
+            return Z
+        from ..parallel.sharding import stage_block_sharding
+
+        # pair blocks are (n2, 2, *spatial); per-pair component arrays
+        # inside PRESB are (n2, *spatial)
+        spatial_start = 2 if Z.ndim == 2 + self.dim else 1
+        return jax.lax.with_sharding_constraint(
+            Z, stage_block_sharding(self.mesh, Z.ndim, spatial_start)
+        )
+
+    def _reinit(self, tau):
+        return self._reinit_jit(jnp.asarray(tau, dtype=self.dtype))
+
+    def solve_step(self, u, timestep_number, t, tau):
+        prec = self.prec_state(tau)
+        t_ = jnp.asarray(t, dtype=self.dtype)
+        tau_ = jnp.asarray(tau, dtype=self.dtype)
+        with self.timers.phase("total"):
+            with self.timers.phase("rhs"):
+                W_rhs = self._rhs_jit(u, t_, tau_)
+                W_rhs.block_until_ready()
+            with self.timers.phase("outer_solver"):
+                W, n_outer, n_inner = self._solve_jit(W_rhs, prec, tau_)
+                W.block_until_ready()
+            with self.timers.phase("solution_update"):
+                u = self._update_jit(u, W, tau_)
+                u.block_until_ready()
+        self.n_outer += int(np.asarray(n_outer).sum())
+        self.n_inner += int(np.asarray(n_inner).sum())
+        self.after_step(timestep_number)
+        return u

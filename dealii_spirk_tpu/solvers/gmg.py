@@ -73,10 +73,15 @@ def _coarse_dense(space: Space, dtype) -> tuple[np.ndarray, np.ndarray]:
     return M.astype(dtype), K.astype(dtype)
 
 
-def build_gmg_data(space: Space, dtype=jnp.float64) -> GMGData:
+def build_gmg_data(
+    space: Space, dtype=jnp.float64, with_dense: bool = True
+) -> GMGData:
     cm, ck = _coarse_dense(space, np.float64)
     return GMGData(
-        level_ops=tuple(level_ops(lev, dtype) for lev in space.levels),
+        level_ops=tuple(
+            level_ops(lev, dtype, with_dense=with_dense)
+            for lev in space.levels
+        ),
         prolongs=tuple(
             jnp.asarray(P, dtype=dtype) for P in space.prolongations
         ),

@@ -51,6 +51,7 @@ class KrylovResult(NamedTuple):
     x: jnp.ndarray
     n_iterations: jnp.ndarray  # scalar or (lanes,)
     residual: jnp.ndarray  # final monitored residual norm
+    M_carry: object = None  # final preconditioner carry (stateful M only)
 
 
 def pcg(
@@ -187,6 +188,7 @@ def gmres(
     b,
     *,
     M: Callable | None = None,
+    M_carry=None,
     x0=None,
     maxiter: int = 1000,
     abstol: float = 1e-20,
@@ -194,14 +196,29 @@ def gmres(
     restart: int = 28,
     batch: bool = False,
 ) -> KrylovResult:
-    """Left-preconditioned GMRES(restart) with MGS + Givens rotations."""
+    """Left-preconditioned GMRES(restart) with MGS + Givens rotations.
+
+    When ``M_carry`` is given, ``M`` must have the stateful signature
+    ``M(v, carry) -> (z, carry)``; the carry is threaded through every
+    preconditioner application and returned (used by the IRK schemes to
+    accumulate inner-solve iteration counts, mirroring the reference's
+    ``get_n_iterations_and_clear`` at ``main.cc:1176-1182``).
+    """
     if M is None:
-        M = lambda r: r
+        Ms = lambda v, c: (v, c)
+        carry0 = jnp.int32(0)
+    elif M_carry is None:
+        Ms = lambda v, c: (M(v), c)
+        carry0 = jnp.int32(0)
+    else:
+        Ms = M
+        carry0 = M_carry
+
     if x0 is None:
         x0 = jnp.zeros_like(b)
-        r0 = M(b)
+        r0, carry0 = Ms(b, carry0)
     else:
-        r0 = M(b - A(x0))
+        r0, carry0 = Ms(b - A(x0), carry0)
 
     dtype = b.dtype
     lanes = b.shape[0] if batch else None
@@ -211,9 +228,22 @@ def gmres(
     beta0 = jnp.sqrt(_dot(r0, r0, batch))
     tol = jnp.maximum(abstol, reltol * beta0)
 
-    def cycle(x, res, total_iters):
-        """One restart cycle starting from x; returns updated (x, res, it)."""
-        r = M(b - A(x))
+    stateful = M is not None and M_carry is not None
+
+    def _mask_carry(new, old, active):
+        if not stateful:
+            return old
+
+        def f(n, o):
+            if batch and getattr(n, "ndim", 0) >= 1:
+                act = active.reshape(active.shape + (1,) * (n.ndim - 1))
+                return jnp.where(act, n, o)
+            return jnp.where(active, n, o)
+
+        return jax.tree_util.tree_map(f, new, old)
+
+    def cycle(x, r, res, total_iters, carry):
+        """One restart cycle from x with preconditioned residual r."""
         beta = jnp.sqrt(_dot(r, r, batch))
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         v0 = r / _expand(safe_beta, r, batch)
@@ -227,13 +257,14 @@ def gmres(
         sn = jnp.zeros(lane_shape + (R,), dtype)
 
         def cond(st):
-            _V, _H, _g, _cs, _sn, k, res, it = st
+            _V, _H, _g, _cs, _sn, k, res, it, _carry = st
             return jnp.any((res > tol) & (k < R) & (it < maxiter))
 
         def body(st):
-            V, H, g, cs, sn, k, res, it = st
+            V, H, g, cs, sn, k, res, it, carry = st
             active = (res > tol) & (it < maxiter)
-            w = M(A(V[k]))
+            w, carry_new = Ms(A(V[k]), carry)
+            carry = _mask_carry(carry_new, carry, active)
             # modified Gram-Schmidt against all previous vectors (masked)
             hcol = jnp.zeros(lane_shape + (R + 1,), dtype)
 
@@ -295,10 +326,10 @@ def gmres(
             g = g.at[..., k + 1].set(upd_vec(g_new_k1, g[..., k + 1]))
             res = jnp.where(active, jnp.abs(g_new_k1), res)
             it = it + active.astype(jnp.int32)
-            return V, H, g, cs, sn, k + 1, res, it
+            return V, H, g, cs, sn, k + 1, res, it, carry
 
-        st = (V, H, g, cs, sn, jnp.int32(0), res, total_iters)
-        V, H, g, cs, sn, k, res, it = lax.while_loop(cond, body, st)
+        st = (V, H, g, cs, sn, jnp.int32(0), res, total_iters, carry)
+        V, H, g, cs, sn, k, res, it, carry = lax.while_loop(cond, body, st)
 
         # back-substitution on the rotated (upper-triangular) H
         Rm = H[..., :R, :R]
@@ -321,16 +352,28 @@ def gmres(
             k_sz = jnp.sum(jnp.abs(Rm[idx, idx]) > 0)
             y = solve_lane(Rm, g, k_sz)
             dx = jnp.tensordot(y, V[:R], axes=((0,), (0,)))
-        return x + dx, res, it
+        return x + dx, res, it, carry
 
     def outer_cond(st):
-        _x, res, it = st
+        _x, _r, res, it, _carry = st
         return jnp.any((res > tol) & (it < maxiter))
 
     def outer_body(st):
-        x, res, it = st
-        return cycle(x, res, it)
+        x, r, res, it, carry = st
+        active = (res > tol) & (it < maxiter)
+        x, res, it, carry = cycle(x, r, res, it, carry)
+        # recompute the (preconditioned) residual for the next cycle; only
+        # lanes that were active this cycle may update their carry
+        r_new, carry_new = Ms(b - A(x), carry)
+        carry = _mask_carry(carry_new, carry, active)
+        res_new = jnp.sqrt(_dot(r_new, r_new, batch))
+        res = jnp.where(active, res_new, res)
+        return x, r_new, res, it, carry
 
     zero_it = jnp.zeros(lane_shape, jnp.int32) if batch else jnp.int32(0)
-    x, res, iters = lax.while_loop(outer_cond, outer_body, (x0, beta0, zero_it))
-    return KrylovResult(x=x, n_iterations=iters, residual=res)
+    x, _r, res, iters, carry = lax.while_loop(
+        outer_cond, outer_body, (x0, r0, beta0, zero_it, carry0)
+    )
+    return KrylovResult(
+        x=x, n_iterations=iters, residual=res, M_carry=carry
+    )
