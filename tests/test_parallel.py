@@ -1,0 +1,84 @@
+"""Multi-device tests on the virtual 8-device CPU mesh — the TPU-world
+replacement for multi-node runs (SURVEY.md §4, item 5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dealii_spirk_tpu.config import Parameters
+from dealii_spirk_tpu.parallel.mesh import make_mesh, stage_space_shape
+from dealii_spirk_tpu.runner import run_config
+
+BASE = {
+    "FEDegree": 1,
+    "NRefinements": 4,
+    "IRKStages": 4,
+    "TimeStepSize": 0.1,
+    "EndTime": 0.2,
+    "OperatorType": "MatrixFree",
+    "BlockPreconditionerType": "GMG",
+    "InnerTolerance": 0.0,
+}
+
+
+def _run(over, dim=2, mesh=None):
+    p = Parameters.from_dict({**BASE, **over}, dim=dim)
+    return run_config(p, mesh=mesh, verbose=False)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    assert stage_space_shape(8, 4) == (4, 2)
+    assert stage_space_shape(8, 2) == (2, 4)
+    assert stage_space_shape(8, 3) == (3, 2)  # 2 devices dropped
+    with pytest.raises(ValueError):
+        stage_space_shape(2, 4)
+    m = make_mesh(4)
+    assert m.shape == {"stage": 4, "space": 2}
+    # MaxRanks trimming (reference main.cc:3647-3658)
+    m2 = make_mesh(2, max_ranks=4)
+    assert m2.shape == {"stage": 2, "space": 2}
+
+
+def test_spirk_matches_irk():
+    """Stage-parallel IRK must reproduce sequential IRK exactly —
+    same errors AND same iteration counts (the reference's schemes are
+    mutual oracles, SURVEY.md §4.4)."""
+    seq = _run({"TimeIntegrationScheme": "irk"})
+    par = _run({"TimeIntegrationScheme": "spirk"})
+    np.testing.assert_allclose(par["error_L2"], seq["error_L2"], rtol=1e-9)
+    assert par["n_outer"] == seq["n_outer"]
+    assert par["n_inner"] == seq["n_inner"]
+
+
+def test_complex_spirk_matches_complex_irk():
+    seq = _run({"TimeIntegrationScheme": "complex_irk"})
+    par = _run({"TimeIntegrationScheme": "complex_spirk"})
+    np.testing.assert_allclose(par["error_L2"], seq["error_L2"], rtol=1e-9)
+    assert par["n_outer"] == seq["n_outer"]
+    assert par["n_inner"] == seq["n_inner"]
+
+
+def test_complex_spirk_batched():
+    seq = _run({"TimeIntegrationScheme": "complex_irk_batched"})
+    par = _run({"TimeIntegrationScheme": "complex_spirk_batched"})
+    np.testing.assert_allclose(par["error_L2"], seq["error_L2"], rtol=1e-9)
+
+
+def test_spirk_column_major_topology():
+    """DoRowMajor toggles device placement (reference main.cc:281-293);
+    results must be identical either way."""
+    a = _run({"TimeIntegrationScheme": "spirk", "DoRowMajor": True})
+    b = _run({"TimeIntegrationScheme": "spirk", "DoRowMajor": False})
+    np.testing.assert_allclose(a["error_L2"], b["error_L2"], rtol=1e-12)
+
+
+def test_spirk_3d():
+    out = _run(
+        {"TimeIntegrationScheme": "spirk", "NRefinements": 3, "IRKStages": 2},
+        dim=3,
+    )
+    assert out["error_L2"] < 0.1

@@ -1,0 +1,127 @@
+"""End-to-end scheme tests using the reference's own validation strategy
+(SURVEY.md §4): manufactured-solution errors + cross-scheme consistency
+(all schemes implement the same mathematics, so equal errors are the
+oracle — reference main.cc:945-954 etc.)."""
+
+import numpy as np
+import pytest
+
+from dealii_spirk_tpu.config import Parameters
+from dealii_spirk_tpu.runner import run_config
+
+BASE = {
+    "FEDegree": 1,
+    "NRefinements": 4,
+    "IRKStages": 3,
+    "TimeStepSize": 0.1,
+    "EndTime": 0.2,
+    "OperatorType": "MatrixFree",
+    "BlockPreconditionerType": "GMG",
+    "InnerTolerance": 0.0,
+    "DoOutputParaview": False,
+}
+
+
+def _run(over, dim=2):
+    p = Parameters.from_dict({**BASE, **over}, dim=dim)
+    return run_config(p, verbose=False)
+
+
+def test_ost_tracks_analytical_solution():
+    out = _run({"TimeIntegrationScheme": "ost", "NRefinements": 5})
+    # spatial discretization error level for p=1, h=1/32
+    assert out["error_L2"] < 5e-3
+    assert out["error_Linf"] < 2e-2
+
+
+def test_ost_spatial_convergence():
+    e = [
+        _run({"TimeIntegrationScheme": "ost", "NRefinements": r,
+              "TimeStepSize": 0.025})["error_L2"]
+        for r in (3, 4, 5)
+    ]
+    # O(h^2) until the temporal error floor
+    assert e[0] / e[1] > 3.0
+    assert e[1] / e[2] > 2.0
+
+
+def test_scheme_cross_consistency():
+    """All IRK variants solve the same equations: identical errors."""
+    results = {
+        s: _run({"TimeIntegrationScheme": s})
+        for s in ("irk", "irk_batched", "complex_irk", "complex_irk_batched")
+    }
+    l2 = {s: r["error_L2"] for s, r in results.items()}
+    vals = list(l2.values())
+    for v in vals[1:]:
+        np.testing.assert_allclose(v, vals[0], rtol=1e-6)
+    # iteration counts are sane and bounded
+    for s, r in results.items():
+        assert 0 < r["n_outer"] < 60, (s, r["n_outer"])
+
+
+def test_irk_temporal_convergence_q2():
+    """Radau IIA with q=2 has order 3: halving dt cuts the *temporal*
+    error ~8x.  Isolate it by Richardson comparison against a tiny-dt
+    solution on the same grid (the analytic-error metric saturates at the
+    spatial floor)."""
+    over = {
+        "TimeIntegrationScheme": "irk",
+        "FEDegree": 1,
+        "NRefinements": 4,
+        "IRKStages": 2,
+        "EndTime": 0.4,
+        "OuterTolerance": 1e-12,
+    }
+    u_ref = _run({**over, "TimeStepSize": 0.0125})["u"]
+    e1 = np.linalg.norm(_run({**over, "TimeStepSize": 0.2})["u"] - u_ref)
+    e2 = np.linalg.norm(_run({**over, "TimeStepSize": 0.1})["u"] - u_ref)
+    assert e1 / e2 > 5.0, (e1, e2)
+
+
+def test_irk_inner_tolerance_cg():
+    """InnerTolerance > 0 switches the block solves to CG+GMG (reference
+    main.cc:1126-1148); errors must stay at the same level."""
+    ref = _run({"TimeIntegrationScheme": "irk"})
+    cg = _run({"TimeIntegrationScheme": "irk", "InnerTolerance": 1e-4})
+    np.testing.assert_allclose(cg["error_L2"], ref["error_L2"], rtol=1e-4)
+    assert cg["n_inner"] > ref["n_inner"]  # real CG iterations counted
+
+
+def test_matrix_based_equals_matrix_free():
+    a = _run({"TimeIntegrationScheme": "irk"})
+    b = _run({"TimeIntegrationScheme": "irk", "OperatorType": "MatrixBased"})
+    np.testing.assert_allclose(a["error_L2"], b["error_L2"], rtol=1e-10)
+    assert a["n_outer"] == b["n_outer"]
+
+
+def test_auto_time_step_rule():
+    p = Parameters.from_dict(
+        {**BASE, "TimeIntegrationScheme": "irk", "TimeStepSize": 0.0}, dim=2
+    )
+    dx = 1.0 / 2**p.n_refinements
+    expect = dx ** ((p.fe_degree + 1.0) / (2.0 * p.irk_stages - 1.0))
+    assert np.isclose(p.auto_time_step(dx), expect)
+
+
+def test_end_time_truncation():
+    out = _run({"TimeIntegrationScheme": "ost", "TimeStepSize": 0.15,
+                "EndTime": 0.2})
+    # steps: 0.15 then truncated 0.05 (reference main.cc:3326-3339)
+    assert out["n_timesteps"] == 2
+
+
+def test_3d_runs():
+    out = _run({"TimeIntegrationScheme": "irk", "NRefinements": 3}, dim=3)
+    assert out["error_L2"] < 0.1
+
+
+def test_table_output():
+    from dealii_spirk_tpu.utils.table import ConvergenceTable
+
+    t = ConvergenceTable()
+    p = Parameters.from_dict({**BASE, "TimeIntegrationScheme": "irk"}, dim=2)
+    run_config(p, t, verbose=False)
+    s = t.to_string()
+    for col in ("n_dofs", "n_stages", "error_L2", "n_outer_avg", "t_solver"):
+        assert col in s
