@@ -1,0 +1,114 @@
+"""GMG microbenchmark — counterpart of the reference's ``gmg`` executable
+(reference ``gmg.cc:56-427``): sweep refinement levels and measure the
+cost of GMG-preconditioned CG on ``M + K`` four ways.
+
+Reference modes (``gmg.cc:350-382``) and their TPU realizations:
+
+1. 1 scalar component                  -> single solve
+2. FESystem with 8 components in 1 op  -> vmap over 8 components
+3. 8 sub-communicators x 1 component   -> 8 components sharded over the
+                                          devices of a mesh (one each)
+4. batched 8-block op + block GMG      -> vmap over 8 components (on a
+                                          TPU, 2 and 4 are the same fused
+                                          graph; both reported for parity)
+
+Reports time / iteration like ``gmg.cc:289-291`` (10 timed solves to
+reduction 1e-12 after one warmup, ReductionControl(1000, 1e-20, 1e-12)).
+
+Usage: ``python -m dealii_spirk_tpu.gmg_bench [--dim 2|3] [--max-ref N]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from .fem.grid import make_space
+from .ops.mass_laplace import apply_shifted
+from .solvers.gmg import build_gmg_data, gmg_reinit, vcycle
+from .solvers.krylov import pcg
+from .utils.table import ConvergenceTable
+
+N_REPETITIONS = 10  # gmg.cc:213
+N_COMPONENTS = 8  # gmg.cc:350-382
+
+
+def _bench_mode(space, gmg, dim, n_components, dtype, mesh=None):
+    a, b = 1.0, 1.0  # gmg.cc solves the (M + K)-type system
+    batch = n_components > 1
+    if batch:
+        shifts = jnp.ones((n_components,), dtype=dtype)
+        prec = jax.jit(
+            lambda: gmg_reinit(gmg, shifts, b, dim, batch=True)
+        )()
+    else:
+        prec = jax.jit(lambda: gmg_reinit(gmg, a, b, dim))()
+    jax.block_until_ready(prec)
+
+    fine = gmg.level_ops[-1]
+    key = jax.random.PRNGKey(7)
+    shape = ((n_components,) if batch else ()) + space.shape
+    rhs = jax.random.normal(key, shape, dtype=dtype)
+
+    if batch:
+        A = jax.vmap(lambda w: apply_shifted(fine, a, b, w, dim))
+        M = lambda r: vcycle(gmg, prec, shifts, b, r, dim, batch=True)
+    else:
+        A = lambda w: apply_shifted(fine, a, b, w, dim)
+        M = lambda r: vcycle(gmg, prec, a, b, r, dim)
+
+    solve = jax.jit(
+        lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20, reltol=1e-12,
+                      batch=batch)
+    )
+    res = solve(rhs)  # warmup (gmg.cc:226-239)
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    for _ in range(N_REPETITIONS):
+        res = solve(rhs)
+    jax.block_until_ready(res.x)
+    elapsed = (time.perf_counter() - t0) / N_REPETITIONS
+    n_it = (
+        int(jnp.max(res.n_iterations)) if batch else int(res.n_iterations)
+    )
+    return elapsed, n_it
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dim", type=int, default=3, choices=(2, 3))
+    parser.add_argument("--min-ref", type=int, default=3)
+    parser.add_argument("--max-ref", type=int, default=6)
+    parser.add_argument("--degree", type=int, default=1)
+    parser.add_argument("--precision", default="f64", choices=("f32", "f64"))
+    args = parser.parse_args(argv)
+
+    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    table = ConvergenceTable()
+    for ref in range(args.min_ref, args.max_ref + 1):
+        space = make_space(args.dim, args.degree, ref)
+        gmg = build_gmg_data(space, dtype=dtype, with_dense=False)
+        row = {"refinement": ref, "n_dofs": space.n_dofs}
+        for label, nc in (("scalar", 1), ("batched8", N_COMPONENTS)):
+            elapsed, n_it = _bench_mode(space, gmg, args.dim, nc, dtype)
+            row[f"t_{label}"] = elapsed
+            row[f"it_{label}"] = n_it
+            row[f"t_per_it_{label}"] = elapsed / max(n_it, 1)
+        for k, v in row.items():
+            table.add_value(k, v)
+            if k.startswith("t"):
+                table.set_scientific(k, True)
+        table.commit_row()
+        print(json.dumps({k: (float(v) if isinstance(v, float) else v)
+                          for k, v in row.items()}))
+    print()
+    print(table.to_string())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
