@@ -218,16 +218,29 @@ def _complex_diagonalization(A_inv: np.ndarray):
 
 @functools.lru_cache(maxsize=None)
 def irk_tables(n_stages: int) -> IRKTables:
-    """Compute (and cache) all tables for an ``n_stages``-stage Radau IIA."""
-    A, b, c = radau_iia(n_stages)
-    A_inv = np.linalg.inv(A)
+    """Compute (and cache) all tables for an ``n_stages``-stage Radau IIA.
 
-    L, _U = _lu_unit_upper(A_inv)
-    d, V = _eig_lower_triangular(L)
-    order = np.argsort(-d, kind="stable")  # descending, cf. D_vec_{q}.txt
-    d = d[order]
-    V = V[:, order]
-    T_inv = np.linalg.inv(V)
+    Prefers the native C++ core (long-double precision,
+    ``native/fem_core.cc``) with this numpy implementation as fallback;
+    the complex eigendecomposition always runs in numpy.
+    """
+    from .native import core
+
+    nc = core()
+    if nc is not None:
+        t = nc.radau_tables(n_stages)
+        A, b, c = t["A"], t["b"], t["c"]
+        A_inv, L = t["A_inv"], t["L"]
+        d, V, T_inv = t["D"], t["T"], t["T_inv"]
+    else:
+        A, b, c = radau_iia(n_stages)
+        A_inv = np.linalg.inv(A)
+        L, _U = _lu_unit_upper(A_inv)
+        d, V = _eig_lower_triangular(L)
+        order = np.argsort(-d, kind="stable")  # descending, cf. D_vec_q.txt
+        d = d[order]
+        V = V[:, order]
+        T_inv = np.linalg.inv(V)
 
     w, Vc, Vc_inv = _complex_diagonalization(A_inv)
 
