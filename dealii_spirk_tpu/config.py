@@ -113,9 +113,20 @@ class Parameters:
     @property
     def operator_mode(self) -> str:
         """Map the reference's OperatorType onto the TPU execution modes:
-        MatrixFree -> banded stencil sweeps, MatrixBased -> dense 1D
-        contractions on the MXU."""
-        return "stencil" if self.operator_type == "MatrixFree" else "dense"
+        MatrixBased -> dense 1D contractions on the MXU; MatrixFree ->
+        the fused Pallas stencil kernel when it applies (degree 1, f32,
+        TPU backend), banded roll sweeps otherwise."""
+        if self.operator_type == "MatrixBased":
+            return "dense"
+        import jax
+
+        if (
+            self.fe_degree == 1
+            and self.precision == "f32"
+            and jax.default_backend() == "tpu"
+        ):
+            return "pallas"
+        return "stencil"
 
     @property
     def is_complex(self) -> bool:

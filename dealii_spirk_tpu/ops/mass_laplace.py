@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..fem.grid import Level1D
@@ -70,12 +71,28 @@ def _apply_1d(ops: LevelOps, which: str, u, axis: int, mode: str):
     raise ValueError(f"unknown operator mode {mode!r}")
 
 
+def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
+    p = (ops.mass_band.shape[0] - 1) // 2
+    return (
+        p == 1
+        and dim in (2, 3)
+        and u.dtype == jnp.float32
+        and u.ndim in (dim, dim + 1)
+    )
+
+
 def _spatial_axes(u_ndim: int, dim: int) -> tuple[int, ...]:
     return tuple(range(u_ndim - dim, u_ndim))
 
 
 def apply_mass(ops: LevelOps, u, dim: int, mode: str = "stencil"):
     """M u = (M1 (x) ... (x) M1) u; leading axes of ``u`` are batch."""
+    if mode == "pallas" and _pallas_ok(ops, u, dim):
+        from .pallas.stencil import fused_stencil_apply
+
+        return fused_stencil_apply(ops, 1.0, 0.0, u, dim)
+    if mode == "pallas":
+        mode = "stencil"
     for ax in _spatial_axes(u.ndim, dim):
         u = _apply_1d(ops, "m", u, ax, mode)
     return u
@@ -83,6 +100,12 @@ def apply_mass(ops: LevelOps, u, dim: int, mode: str = "stencil"):
 
 def apply_stiffness(ops: LevelOps, u, dim: int, mode: str = "stencil"):
     """K u with K = sum_k M1 (x) .. K1(axis k) .. (x) M1."""
+    if mode == "pallas" and _pallas_ok(ops, u, dim):
+        from .pallas.stencil import fused_stencil_apply
+
+        return fused_stencil_apply(ops, 0.0, 1.0, u, dim)
+    if mode == "pallas":
+        mode = "stencil"
     axes = _spatial_axes(u.ndim, dim)
     out = None
     for k_ax in axes:
@@ -97,9 +120,17 @@ def apply_stiffness(ops: LevelOps, u, dim: int, mode: str = "stencil"):
 def apply_shifted(ops: LevelOps, a, b, u, dim: int, mode: str = "stencil"):
     """(a M + b K) u with shared 1D intermediates (4 applies in 2D, 7 in 3D).
 
-    ``a`` / ``b`` are scalars (possibly traced); batching over stages with
-    per-stage shifts is done with ``jax.vmap`` at the call site.
+    ``a`` / ``b`` are scalars (possibly traced); in ``"pallas"`` mode ``u``
+    may also carry a leading stage axis with ``a`` a (q,) vector — the
+    fused kernel batches natively (other modes use the ``*_batched``
+    helpers below).
     """
+    if mode == "pallas" and _pallas_ok(ops, u, dim):
+        from .pallas.stencil import fused_stencil_apply
+
+        return fused_stencil_apply(ops, a, b, u, dim)
+    if mode == "pallas":
+        mode = "stencil"
     axes = _spatial_axes(u.ndim, dim)
     if dim == 2:
         ax_x, ax_y = axes
@@ -117,6 +148,36 @@ def apply_shifted(ops: LevelOps, a, b, u, dim: int, mode: str = "stencil"):
         out = _apply_1d(ops, "m", a * C + b * (D + E), ax_x, mode)
         return out + b * _apply_1d(ops, "k", C, ax_x, mode)
     raise ValueError("dim must be 2 or 3")
+
+
+def apply_mass_batched(ops: LevelOps, W, dim: int, mode: str = "stencil"):
+    """Stage-batched M over W (q, *spatial)."""
+    if mode == "pallas" and _pallas_ok(ops, W, dim):
+        return apply_mass(ops, W, dim, mode)
+    return jax.vmap(lambda w: apply_mass(ops, w, dim, _fb(mode)))(W)
+
+
+def apply_stiffness_batched(ops: LevelOps, W, dim: int, mode: str = "stencil"):
+    """Stage-batched K over W (q, *spatial)."""
+    if mode == "pallas" and _pallas_ok(ops, W, dim):
+        return apply_stiffness(ops, W, dim, mode)
+    return jax.vmap(lambda w: apply_stiffness(ops, w, dim, _fb(mode)))(W)
+
+
+def apply_shifted_batched(
+    ops: LevelOps, a_vec, b, W, dim: int, mode: str = "stencil"
+):
+    """Per-stage (a_i M + b K) W_i — the reference's batched operator
+    (``operator.h:701-881``).  ``a_vec``: (q,), ``W``: (q, *spatial)."""
+    if mode == "pallas" and _pallas_ok(ops, W, dim):
+        return apply_shifted(ops, a_vec, b, W, dim, mode)
+    return jax.vmap(
+        lambda ai, wi: apply_shifted(ops, ai, b, wi, dim, _fb(mode))
+    )(a_vec, W)
+
+
+def _fb(mode: str) -> str:
+    return "stencil" if mode == "pallas" else mode
 
 
 def apply_complex(

@@ -23,6 +23,7 @@ def run_config(
     *,
     mesh=None,
     verbose: bool = True,
+    output_dir: str = ".",
 ) -> dict:
     """Run one configuration; returns a summary dict and fills ``table``."""
     if table is None:
@@ -64,10 +65,18 @@ def run_config(
     table.add_value("n_procs_row", n_row)
     table.add_value("n_procs_column", n_col)
 
+    paraview = None
+    if params.do_output_paraview:
+        from .utils.vtk import ParaviewSeries
+
+        paraview = ParaviewSeries(output_dir)
+
     u = problem.initial_condition()
     time = 0.0
     timestep_number = 0
     error = problem.errors(u, time)
+    if paraview is not None:
+        paraview.write(u, sp.fine.x, time, timestep_number)
     say(f"   Error in the L2/Linf norm : {error[0]:.6e}/{error[1]:.6e}")
 
     dt = params.auto_time_step(sp.dx_min)
@@ -91,6 +100,8 @@ def run_config(
 
         error = problem.errors(u, time)
         errors_history.append(error)
+        if paraview is not None:
+            paraview.write(u, sp.fine.x, time, timestep_number)
         say(f"   Error in the L2/Linf norm : {error[0]:.6e}/{error[1]:.6e}")
 
     table.add_value("n_t", timestep_number)

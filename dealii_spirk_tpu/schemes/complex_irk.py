@@ -29,8 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import irk_tables
-from ..ops.mass_laplace import apply_complex, apply_mass, apply_shifted, \
-    apply_stiffness
+from ..ops.mass_laplace import (
+    apply_mass_batched,
+    apply_shifted_batched,
+    apply_stiffness,
+)
 from ..solvers.gmg import gmg_reinit, vcycle
 from ..solvers.krylov import gmres, pcg
 from .base import SchemeBase, stage_mix, stage_times_factor
@@ -69,17 +72,23 @@ class ComplexIRK(SchemeBase):
         shard = self._shard_pair
 
         shifts = d_re2 + d_im2  # PRESB / block-GMG shifts (main.cc:1959)
-        mass_b = jax.vmap(lambda w: apply_mass(fine, w, dim, mode))
-        shifted_b = jax.vmap(
-            lambda si, wi, tau: apply_shifted(fine, si, tau, wi, dim, mode),
-            in_axes=(0, 0, None),
+        mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
+        shifted_b = lambda si, Wi, tau: apply_shifted_batched(
+            fine, si, tau, Wi, dim, mode
         )
-        complex_b = jax.vmap(
-            lambda re_, im_, z, tau: apply_complex(
-                fine, re_, im_, tau, z, dim, mode
-            ),
-            in_axes=(0, 0, 0, None),
-        )
+
+        def complex_b(d_re, d_im, Z, tau):
+            """2x2 block complex apply over pair blocks (n2, 2, *spatial)
+            (reference operator.h:593-666), flattened so the fused batched
+            operator serves both components in one sweep."""
+            flat = Z.reshape((Z.shape[0] * 2,) + Z.shape[2:])
+            S = apply_shifted_batched(
+                fine, jnp.repeat(d_re, 2), tau, flat, dim, mode
+            ).reshape(Z.shape)
+            Mz = apply_mass_batched(fine, flat, dim, mode).reshape(Z.shape)
+            lam = d_im.reshape((Z.shape[0],) + (1,) * dim)
+            cross = jnp.stack([-lam * Mz[:, 1], lam * Mz[:, 0]], axis=1)
+            return S + cross
 
         def reinit(tau):
             if batched:

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import irk_tables
-from ..ops.mass_laplace import apply_mass, apply_shifted, apply_stiffness
+from ..ops.mass_laplace import (
+    apply_mass_batched,
+    apply_shifted,
+    apply_shifted_batched,
+    apply_stiffness,
+    apply_stiffness_batched,
+)
 from ..solvers.gmg import gmg_reinit, vcycle
 from ..solvers.krylov import gmres, pcg
 from .base import SchemeBase, stage_mix, stage_times_factor
@@ -71,11 +77,10 @@ class IRK(SchemeBase):
         sequential_stages = params.time_integration_scheme == "irk"
         shard = self._shard_stage  # sharding hook (identity off-mesh)
 
-        mass_b = jax.vmap(lambda w: apply_mass(fine, w, dim, mode))
-        stiff_b = jax.vmap(lambda w: apply_stiffness(fine, w, dim, mode))
-        shifted_b = jax.vmap(
-            lambda di, wi, tau: apply_shifted(fine, di, tau, wi, dim, mode),
-            in_axes=(0, 0, None),
+        mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
+        stiff_b = lambda W: apply_stiffness_batched(fine, W, dim, mode)
+        shifted_b = lambda di, Wi, tau: apply_shifted_batched(
+            fine, di, tau, Wi, dim, mode
         )
 
         def reinit(tau):

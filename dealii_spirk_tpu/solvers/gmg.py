@@ -30,6 +30,7 @@ from ..fem.grid import Space
 from ..ops.mass_laplace import (
     LevelOps,
     apply_shifted,
+    apply_shifted_batched,
     level_ops,
     operator_diagonal,
 )
@@ -92,10 +93,7 @@ def build_gmg_data(
 
 def _make_A(ops: LevelOps, a, b, dim: int, mode: str, batch: bool) -> Callable:
     if batch:
-        vm = jax.vmap(
-            lambda ai, ui: apply_shifted(ops, ai, b, ui, dim, mode)
-        )
-        return lambda u: vm(a, u)
+        return lambda u: apply_shifted_batched(ops, a, b, u, dim, mode)
     return lambda u: apply_shifted(ops, a, b, u, dim, mode)
 
 

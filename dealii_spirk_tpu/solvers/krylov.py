@@ -270,12 +270,13 @@ def gmres(
 
             def mgs(j, carry):
                 w, hcol = carry
-                hij = jnp.where(j <= k, _dot(V[j], w, batch), 0.0)
+                hij = _dot(V[j], w, batch)
                 w = w - _expand(hij, w, batch) * V[j]
                 hcol = hcol.at[..., j].set(hij)
                 return w, hcol
 
-            w, hcol = lax.fori_loop(0, R, mgs, (w, hcol))
+            # dynamic trip count: only the k+1 live basis vectors
+            w, hcol = lax.fori_loop(0, k + 1, mgs, (w, hcol))
             hk1 = jnp.sqrt(_dot(w, w, batch))
             hcol = hcol.at[..., k + 1].set(hk1)
             safe_h = jnp.where(hk1 > 0, hk1, 1.0)
@@ -283,17 +284,14 @@ def gmres(
 
             # apply existing Givens rotations to the new column
             def rot(j, hcol):
-                mask = j < k
                 hj = hcol[..., j]
                 hj1 = hcol[..., j + 1]
                 c = cs[..., j]
                 s = sn[..., j]
-                new_j = jnp.where(mask, c * hj + s * hj1, hj)
-                new_j1 = jnp.where(mask, -s * hj + c * hj1, hj1)
-                hcol = hcol.at[..., j].set(new_j)
-                return hcol.at[..., j + 1].set(new_j1)
+                hcol = hcol.at[..., j].set(c * hj + s * hj1)
+                return hcol.at[..., j + 1].set(-s * hj + c * hj1)
 
-            hcol = lax.fori_loop(0, R, rot, hcol)
+            hcol = lax.fori_loop(0, k, rot, hcol)
 
             # new rotation annihilating hcol[k+1]
             hk = hcol[..., k] if batch else hcol[k]

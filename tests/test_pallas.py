@@ -1,0 +1,74 @@
+"""Fused Pallas stencil kernel vs. the XLA banded path (interpret mode on
+CPU; the same kernel compiles for real on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dealii_spirk_tpu.fem.grid import make_level
+from dealii_spirk_tpu.ops.mass_laplace import apply_shifted, level_ops
+from dealii_spirk_tpu.ops.pallas.stencil import (
+    fused_stencil_apply,
+    fused_stencil_supported,
+    stencil_weights,
+)
+
+
+def test_supported_matrix():
+    assert fused_stencil_supported(1, 3, jnp.float32)
+    assert fused_stencil_supported(1, 2, jnp.float32)
+    assert not fused_stencil_supported(2, 3, jnp.float32)
+    assert not fused_stencil_supported(1, 3, jnp.float64)
+
+
+@pytest.mark.parametrize("dim,ref", [(2, 3), (2, 4), (3, 2), (3, 3)])
+def test_matches_xla_path(dim, ref):
+    lev = make_level(ref, 1)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((lev.m,) * dim), jnp.float32)
+    want = apply_shifted(ops, 1.7, 0.3, u, dim, "stencil")
+    got = fused_stencil_apply(ops, 1.7, 0.3, u, dim, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_batched_per_stage_shifts(dim):
+    lev = make_level(3, 1)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(1)
+    q = 4
+    W = jnp.asarray(rng.standard_normal((q,) + (lev.m,) * dim), jnp.float32)
+    d = jnp.asarray([1.0, 2.5, 4.0, 8.0], jnp.float32)
+    want = jax.vmap(
+        lambda di, wi: apply_shifted(ops, di, 0.3, wi, dim, "stencil")
+    )(d, W)
+    got = fused_stencil_apply(ops, d, 0.3, W, dim, interpret=True)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_mass_and_stiffness_special_cases():
+    from dealii_spirk_tpu.ops.mass_laplace import apply_mass, apply_stiffness
+
+    lev = make_level(3, 1)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((lev.m,) * 2), jnp.float32)
+    np.testing.assert_allclose(
+        fused_stencil_apply(ops, 1.0, 0.0, u, 2, interpret=True),
+        apply_mass(ops, u, 2),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        fused_stencil_apply(ops, 0.0, 1.0, u, 2, interpret=True),
+        apply_stiffness(ops, u, 2),
+        atol=2e-5,
+    )
+
+
+def test_weights_shapes():
+    lev = make_level(3, 1)
+    ops = level_ops(lev, jnp.float32)
+    assert stencil_weights(ops, jnp.ones(4), 0.1, 2).shape == (4, 9)
+    assert stencil_weights(ops, jnp.ones(4), 0.1, 3).shape == (4, 24)

@@ -18,6 +18,7 @@ BASE = {
     "OperatorType": "MatrixFree",
     "BlockPreconditionerType": "GMG",
     "InnerTolerance": 0.0,
+    "DoOutputParaview": False,
 }
 
 
