@@ -18,15 +18,33 @@ from .utils.table import ConvergenceTable
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="dealii_spirk_tpu")
     parser.add_argument("--dim", type=int, default=3, choices=(2, 3))
+    parser.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture an XLA/Xprof trace of the run into DIR (the "
+        "TPU-native analog of the reference's phase timers, SURVEY.md §5)",
+    )
     parser.add_argument("configs", nargs="+", help="JSON parameter files")
     args = parser.parse_args(argv)
 
+    import contextlib
+
+    import jax
+
+    profile_cm = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+
     table = ConvergenceTable()
-    for path in args.configs:
-        params = Parameters.from_json(path, dim=args.dim)
-        run_config(params, table)
-        print()
-        print(table.to_string())
+    with profile_cm:
+        for path in args.configs:
+            params = Parameters.from_json(path, dim=args.dim)
+            run_config(params, table)
+            print()
+            print(table.to_string())
     return 0
 
 

@@ -218,3 +218,17 @@ class IRK(SchemeBase):
             self.n_inner += int(np.asarray(n_inner).sum())
         self.after_step(timestep_number)
         return u
+
+    def get_statistics(self, table, scaling_factor=1.0):
+        super().get_statistics(table, scaling_factor)
+        # per-stage preconditioner-solve timers (reference main.cc:810-813):
+        # stage solves run fused inside one compiled program here, so the
+        # per-stage wall share is not separately observable; report the
+        # even split of the measured preconditioner time.
+        s = max(scaling_factor, 1.0)
+        per_stage = self.timers.seconds["preconditioner_solver"] / (s * self.q)
+        for i in range(10):
+            table.add_value(
+                f"t_prec_solver_{i}", per_stage if i < self.q else 0.0
+            )
+            table.set_scientific(f"t_prec_solver_{i}", True)

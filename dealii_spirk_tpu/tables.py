@@ -37,6 +37,31 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
+# reference-format table file I/O (interop with the reference's tables/)
+# ---------------------------------------------------------------------------
+
+
+def load_table_file(path: str) -> np.ndarray:
+    """Read a matrix/vector in the reference's table text format: two ints
+    (m, n) followed by row-major entries (reference ``main.cc:599-656``).
+    Vectors come back 1-D."""
+    vals = open(path).read().replace(",", " ").split()
+    m, n = int(float(vals[0])), int(float(vals[1]))
+    data = np.array([float(v) for v in vals[2 : 2 + m * n]]).reshape(m, n)
+    return data.ravel() if m == 1 else data
+
+
+def save_table_file(path: str, data: np.ndarray) -> None:
+    """Write in the reference's format so our generated tables can be fed
+    to a build of the reference (cross-implementation oracle runs)."""
+    data = np.atleast_2d(np.asarray(data, dtype=np.float64))
+    with open(path, "w") as f:
+        f.write(f"{data.shape[0]}\n{data.shape[1]}\n")
+        for v in data.ravel():
+            f.write(f"{v!r}\n")
+
+
+# ---------------------------------------------------------------------------
 # orthogonal-polynomial machinery (Golub–Welsch)
 # ---------------------------------------------------------------------------
 
