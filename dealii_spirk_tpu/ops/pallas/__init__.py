@@ -1,7 +1,3 @@
-from .stencil import fused_stencil_supported, fused_stencil_apply, stencil_weights
+from .stencil import fused_stencil_apply, fused_stencil_supported
 
-__all__ = [
-    "fused_stencil_supported",
-    "fused_stencil_apply",
-    "stencil_weights",
-]
+__all__ = ["fused_stencil_apply", "fused_stencil_supported"]

@@ -51,6 +51,13 @@ def run_config(
         f"Number of degrees of freedom: {sp.n_dofs}\n"
     )
 
+    if mesh is not None:
+        # virtual-topology dump (reference main.cc:3700-3740): which device
+        # sits at each (stage, space) coordinate
+        say("Device grid (stage x space):")
+        for row in mesh.devices:
+            say("  " + " ".join(f"{d.id:3d}" for d in row))
+
     # table parity: reference main.cc:3387-3398
     n_devices = len(mesh.devices.flat) if mesh is not None else 1
     n_row = mesh.shape["stage"] if mesh is not None else 1

@@ -77,6 +77,20 @@ class IRK(SchemeBase):
         sequential_stages = params.time_integration_scheme == "irk"
         shard = self._shard_stage  # sharding hook (identity off-mesh)
 
+        # stage-mixing strategy (reference §2.3: ring rotation vs direct
+        # shared-memory gather): UseSharedMemory=false -> ppermute ring,
+        # true -> einsum (ICI all-gather); identical results either way
+        if (
+            mesh is not None
+            and not params.use_sm
+            and mesh.shape.get("stage") == q
+        ):
+            from ..parallel.ring import ring_stage_mix
+
+            mixer = lambda mat, W: ring_stage_mix(mat, W, mesh)
+        else:
+            mixer = stage_mix
+
         mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
         stiff_b = lambda W: apply_stiffness_batched(fine, W, dim, mode)
         shifted_b = lambda di, Wi, tau: apply_shifted_batched(
@@ -90,17 +104,17 @@ class IRK(SchemeBase):
             tf = stage_times_factor(c_vec, t, tau, dim).astype(dt)
             W = tf.reshape((q,) + (1,) * dim) * load[None]
             W = W - apply_stiffness(fine, u, dim, mode)[None]
-            return shard(stage_mix(A_inv, W))
+            return shard(mixer(A_inv, W))
 
         def solve_fn(W_rhs, prec, tau):
             def Aop(W):
                 W = shard(W)
                 MW = mass_b(W)
                 KW = stiff_b(W)
-                return shard(stage_mix(A_inv, MW) + tau * KW)
+                return shard(mixer(A_inv, MW) + tau * KW)
 
             def Mop(v, carry):
-                z = shard(stage_mix(T_inv, shard(v)))
+                z = shard(mixer(T_inv, shard(v)))
                 if sequential_stages:
                     # per-stage sequential solves, one GMG pipeline per
                     # stage (reference `irk`, main.cc:1122-1154)
@@ -155,7 +169,7 @@ class IRK(SchemeBase):
                         gmg, prec, d_vec, tau, z, dim, mode, batch=True
                     )
                     carry = carry + 1
-                return shard(stage_mix(T, shard(z))), carry
+                return shard(mixer(T, shard(z))), carry
 
             res = gmres(
                 Aop,

@@ -11,7 +11,6 @@ from dealii_spirk_tpu.ops.mass_laplace import apply_shifted, level_ops
 from dealii_spirk_tpu.ops.pallas.stencil import (
     fused_stencil_apply,
     fused_stencil_supported,
-    stencil_weights,
 )
 
 
@@ -67,8 +66,14 @@ def test_mass_and_stiffness_special_cases():
     )
 
 
-def test_weights_shapes():
+def test_dense_padded_matches_band():
+    from dealii_spirk_tpu.ops.banded import apply_dense_1d
+    from dealii_spirk_tpu.ops.pallas.stencil import _dense_padded
+
     lev = make_level(3, 1)
     ops = level_ops(lev, jnp.float32)
-    assert stencil_weights(ops, jnp.ones(4), 0.1, 2).shape == (4, 9)
-    assert stencil_weights(ops, jnp.ones(4), 0.1, 3).shape == (4, 24)
+    A = _dense_padded(ops.mass_band, 16)
+    np.testing.assert_allclose(
+        np.asarray(A)[: lev.m, : lev.m], lev.mass_dense, atol=1e-6
+    )
+    assert np.all(np.asarray(A)[lev.m :, :] == 0)
