@@ -72,12 +72,17 @@ def _apply_1d(ops: LevelOps, which: str, u, axis: int, mode: str):
 
 
 def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
+    # the fused kernel pays a pad + slice pass per apply; it wins for
+    # stage-batched operands (measured 4.3x vs the XLA roll path at q=4,
+    # 127^3 on v5e) but loses slightly for single fields — route only
+    # batched applies through it
     p = (ops.mass_band.shape[0] - 1) // 2
     return (
         p == 1
         and dim in (2, 3)
         and u.dtype == jnp.float32
-        and u.ndim in (dim, dim + 1)
+        and u.ndim == dim + 1
+        and u.shape[0] >= 2
     )
 
 
