@@ -169,6 +169,23 @@ def apply_stiffness_batched(ops: LevelOps, W, dim: int, mode: str = "stencil"):
     return jax.vmap(lambda w: apply_stiffness(ops, w, dim, _fb(mode)))(W)
 
 
+def apply_mass_stiffness_batched(
+    ops: LevelOps, W, dim: int, mode: str = "stencil"
+):
+    """(M W, K W) over a stage block — the two ingredients of the outer
+    system vmult (reference "do_reduce_number_of_vmults",
+    ``main.cc:1014-1028``).  The pallas path computes both from one HBM
+    pass."""
+    if mode == "pallas" and _pallas_ok(ops, W, dim):
+        from .pallas.stencil import fused_mass_stiffness_apply
+
+        return fused_mass_stiffness_apply(ops, W, dim)
+    return (
+        apply_mass_batched(ops, W, dim, mode),
+        apply_stiffness_batched(ops, W, dim, mode),
+    )
+
+
 def apply_shifted_batched(
     ops: LevelOps, a_vec, b, W, dim: int, mode: str = "stencil"
 ):

@@ -109,6 +109,79 @@ def _kernel_3d(w_ref, band_ref, xmat_ref, u_hbm, out_ref, scratch, sem):
         xmat_ref[:],
         (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel_ms_3d(band_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch, sem):
+    """Dual-output: M u and K u from one slab pass (for the outer-system
+    vmult, reference main.cc:1014-1028 — q mass + q stiffness applies)."""
+    iq = pl.program_id(0)
+    iz = pl.program_id(1)
+    bz = outm_ref.shape[1]
+    nx_p = outm_ref.shape[3]
+    cp = pltpu.make_async_copy(
+        u_hbm.at[iq, pl.ds(iz * bz, bz + 2)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+    p0 = scratch[0:bz]
+    p1 = scratch[1 : 1 + bz]
+    p2 = scratch[2 : 2 + bz]
+    Zm = band_ref[0, 0] * p0 + band_ref[0, 1] * p1 + band_ref[0, 2] * p2
+    Zk = band_ref[1, 0] * p0 + band_ref[1, 1] * p1 + band_ref[1, 2] * p2
+    Cm = None
+    Ck = None
+    for dy in range(3):
+        rm = _roll(Zm, 1 - dy, 1)
+        rk = _roll(Zk, 1 - dy, 1)
+        cm_term = band_ref[0, dy] * rm
+        ck_term = band_ref[0, dy] * rk + band_ref[1, dy] * rm
+        Cm = cm_term if Cm is None else Cm + cm_term
+        Ck = ck_term if Ck is None else Ck + ck_term
+    dn = (((2,), (0,)), ((), ()))
+    outm_ref[0] = jax.lax.dot_general(
+        Cm,
+        xmat_ref[:nx_p],
+        dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    outk_ref[0] = jax.lax.dot_general(
+        jnp.concatenate([Ck, Cm], axis=-1),
+        xmat_ref[:],
+        dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel_ms_2d(band_ref, xmat_ref, u_ref, outm_ref, outk_ref):
+    iq = pl.program_id(0)
+    nx_p = outm_ref.shape[2]
+    u = u_ref[0]
+    Cm = None
+    Ck = None
+    for dy in range(3):
+        r = _roll(u, 1 - dy, 0)
+        cm_term = band_ref[0, dy] * r
+        ck_term = band_ref[1, dy] * r
+        Cm = cm_term if Cm is None else Cm + cm_term
+        Ck = ck_term if Ck is None else Ck + ck_term
+    dn = (((1,), (0,)), ((), ()))
+    outm_ref[0] = jax.lax.dot_general(
+        Cm,
+        xmat_ref[:nx_p],
+        dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    outk_ref[0] = jax.lax.dot_general(
+        jnp.concatenate([Ck, Cm], axis=-1),
+        xmat_ref[:],
+        dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -131,6 +204,7 @@ def _kernel_2d(w_ref, band_ref, xmat_ref, u_ref, out_ref):
         xmat_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -201,6 +275,82 @@ def _fused_apply_impl(w, band, xmat, u, dim: int, interpret: bool):
         interpret=interpret,
     )(w, band, xmat, u_pad)
     return out[:, :ny, :nx]
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "interpret"))
+def _fused_ms_apply(band, xmat, u, *, dim: int, interpret: bool = False):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        return _fused_ms_apply_impl(band, xmat, u, dim, interpret)
+
+
+def _fused_ms_apply_impl(band, xmat, u, dim: int, interpret: bool):
+    q = u.shape[0]
+    spatial = u.shape[1:]
+
+    if dim == 3:
+        nz, ny, nx = spatial
+        bz = _BZ if nz >= _BZ else 8
+        nzp = _ceil(nz, bz)
+        ny_p = _ceil(ny + 1, 8)
+        nx_p = xmat.shape[1]
+        u_pad = jnp.pad(
+            u, ((0, 0), (1, 1 + nzp - nz), (0, ny_p - ny), (0, nx_p - nx))
+        )
+        shape = jax.ShapeDtypeStruct((q, nzp, ny_p, nx_p), jnp.float32)
+        spec = pl.BlockSpec(
+            (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+        )
+        outm, outk = pl.pallas_call(
+            _kernel_ms_3d,
+            grid=(q, nzp // bz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(spec, spec),
+            out_shape=(shape, shape),
+            scratch_shapes=[
+                pltpu.VMEM((bz + 2, ny_p, nx_p), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(band, xmat, u_pad)
+        sl = (slice(None), slice(None, nz), slice(None, ny), slice(None, nx))
+        return outm[sl], outk[sl]
+
+    ny, nx = spatial
+    ny_p = _ceil(ny + 1, 8)
+    nx_p = xmat.shape[1]
+    u_pad = jnp.pad(u, ((0, 0), (0, ny_p - ny), (0, nx_p - nx)))
+    shape = jax.ShapeDtypeStruct((q, ny_p, nx_p), jnp.float32)
+    spec = pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0))
+    outm, outk = pl.pallas_call(
+        _kernel_ms_2d,
+        grid=(q,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            spec,
+        ],
+        out_specs=(spec, spec),
+        out_shape=(shape, shape),
+        interpret=interpret,
+    )(band, xmat, u_pad)
+    sl = (slice(None), slice(None, ny), slice(None, nx))
+    return outm[sl], outk[sl]
+
+
+def fused_mass_stiffness_apply(
+    ops: LevelOps, u, dim: int, *, interpret: bool = False
+):
+    """(M u, K u) for a stage-batched block in one fused pass."""
+    m1, k1 = _interior_bands(ops)
+    band = jnp.stack([m1, k1]).astype(jnp.float32)
+    xmat = _xmat(ops, u.shape[-1])
+    return _fused_ms_apply(band, xmat, u, dim=dim, interpret=interpret)
 
 
 def _xmat(ops: LevelOps, nx: int):

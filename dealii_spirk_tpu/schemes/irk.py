@@ -39,6 +39,7 @@ import numpy as np
 from ..tables import irk_tables
 from ..ops.mass_laplace import (
     apply_mass_batched,
+    apply_mass_stiffness_batched,
     apply_shifted,
     apply_shifted_batched,
     apply_stiffness,
@@ -109,8 +110,7 @@ class IRK(SchemeBase):
         def solve_fn(W_rhs, prec, tau):
             def Aop(W):
                 W = shard(W)
-                MW = mass_b(W)
-                KW = stiff_b(W)
+                MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
                 return shard(mixer(A_inv, MW) + tau * KW)
 
             def Mop(v, carry):

@@ -60,8 +60,16 @@ class GMGPrec(NamedTuple):
     coarse_inv: jnp.ndarray
 
 
-def _coarse_dense(space: Space, dtype) -> tuple[np.ndarray, np.ndarray]:
-    lev = space.levels[0]
+# levels at or below this DoF count are dropped and solved exactly by the
+# dense coarse solve: one small MXU matmul replaces several smoothing
+# chains whose tiny kernels are pure launch overhead on a TPU.  This can
+# only strengthen the preconditioner relative to the reference (which
+# coarsens all the way to one cell, preconditioner.h:287-339).
+COARSE_SIZE_LIMIT = 4096
+
+
+def _coarse_dense(space: Space, dtype, l0: int) -> tuple[np.ndarray, np.ndarray]:
+    lev = space.levels[l0]
     M1, K1 = lev.mass_dense, lev.stiff_dense
     if space.dim == 2:
         M = np.kron(M1, M1)
@@ -75,16 +83,28 @@ def _coarse_dense(space: Space, dtype) -> tuple[np.ndarray, np.ndarray]:
 
 
 def build_gmg_data(
-    space: Space, dtype=jnp.float64, with_dense: bool = True
+    space: Space,
+    dtype=jnp.float64,
+    with_dense: bool = True,
+    coarse_size_limit: int = COARSE_SIZE_LIMIT,
 ) -> GMGData:
-    cm, ck = _coarse_dense(space, np.float64)
+    # coarsest retained level: the largest one still within the dense
+    # coarse-solve budget (always keep at least the bottom level, and keep
+    # the finest level out of the dense solve when there are >= 2 levels)
+    l0 = 0
+    for i, lev in enumerate(space.levels):
+        if lev.m**space.dim <= coarse_size_limit:
+            l0 = i
+    if l0 == len(space.levels) - 1 and len(space.levels) > 1:
+        l0 -= 1
+    cm, ck = _coarse_dense(space, np.float64, l0)
     return GMGData(
         level_ops=tuple(
             level_ops(lev, dtype, with_dense=with_dense)
-            for lev in space.levels
+            for lev in space.levels[l0:]
         ),
         prolongs=tuple(
-            jnp.asarray(P, dtype=dtype) for P in space.prolongations
+            jnp.asarray(P, dtype=dtype) for P in space.prolongations[l0:]
         ),
         coarse_mass=jnp.asarray(cm, dtype=dtype),
         coarse_stiff=jnp.asarray(ck, dtype=dtype),
@@ -120,7 +140,8 @@ def gmg_reinit(
     thetas = []
     deltas = []
     key = jax.random.PRNGKey(42)
-    for ops in gmg.level_ops:
+    one = jnp.ones(a.shape if batch else (), dtype=gmg.coarse_mass.dtype)
+    for lvl, ops in enumerate(gmg.level_ops):
         m = ops.m
         if batch:
             diag = jax.vmap(
@@ -129,6 +150,12 @@ def gmg_reinit(
         else:
             diag = operator_diagonal(ops, a, b, dim)
         inv_diag = 1.0 / diag
+        if lvl == 0:
+            # the coarsest level is solved exactly (dense); no smoother
+            inv_diags.append(inv_diag)
+            thetas.append(one)
+            deltas.append(one)
+            continue
         shape = (m,) * dim
         rhs = jax.random.uniform(key, shape, dtype=ops.mass_band.dtype)
         if batch:
