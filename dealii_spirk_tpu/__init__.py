@@ -30,6 +30,12 @@ import jax
 # benchmarks can still request float32/bfloat16 via the Precision config.
 jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 passes; for a PDE solver chasing 1e-4..1e-12
+# residual reductions every contraction (stage mixing, grid transfer,
+# coarse solve) must run at full f32 — bf16 operator error stalls Krylov
+# convergence (measured: GMRES hits maxiter instead of converging).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 from . import tables  # noqa: E402,F401

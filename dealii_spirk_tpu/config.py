@@ -41,6 +41,7 @@ _KEY_MAP = {
     # TPU-native extensions (not present in the reference)
     "Precision": ("precision", str),
     "Dim": ("dim", int),
+    "OperatorMode": ("operator_mode_override", str),
 }
 
 
@@ -67,6 +68,7 @@ class Parameters:
     # TPU-native extensions
     precision: str = "f64"
     dim: int = 3
+    operator_mode_override: str = ""
 
     @classmethod
     def from_dict(cls, raw: dict, dim: int | None = None) -> "Parameters":
@@ -107,6 +109,10 @@ class Parameters:
             )
         if self.precision not in ("f32", "f64"):
             raise ValueError(f"unknown Precision {self.precision!r}")
+        if self.operator_mode_override not in ("", "stencil", "dense", "pallas"):
+            raise ValueError(
+                f"unknown OperatorMode {self.operator_mode_override!r}"
+            )
         if self.dim not in (2, 3):
             raise ValueError("Dim must be 2 or 3")
 
@@ -116,6 +122,8 @@ class Parameters:
         MatrixBased -> dense 1D contractions on the MXU; MatrixFree ->
         the fused Pallas stencil kernel when it applies (degree 1, f32,
         TPU backend), banded roll sweeps otherwise."""
+        if self.operator_mode_override:
+            return self.operator_mode_override
         if self.operator_type == "MatrixBased":
             return "dense"
         import jax
