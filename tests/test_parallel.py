@@ -69,6 +69,15 @@ def test_complex_spirk_batched():
     np.testing.assert_allclose(par["error_L2"], seq["error_L2"], rtol=1e-9)
 
 
+def test_spirk_shared_memory_option():
+    """UseSharedMemory toggles all-gather vs ring stage mixing (reference
+    main.cc:1506-1533 vs :1443-1484); results identical."""
+    ring = _run({"TimeIntegrationScheme": "spirk", "UseSharedMemory": False})
+    sm = _run({"TimeIntegrationScheme": "spirk", "UseSharedMemory": True})
+    np.testing.assert_allclose(sm["error_L2"], ring["error_L2"], rtol=1e-10)
+    assert sm["n_outer"] == ring["n_outer"]
+
+
 def test_spirk_column_major_topology():
     """DoRowMajor toggles device placement (reference main.cc:281-293);
     results must be identical either way."""
