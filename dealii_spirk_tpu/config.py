@@ -9,7 +9,7 @@ unmodified.  A few TPU-specific extras are accepted on top (``Precision``,
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 SCHEMES = (
     "ost",

@@ -24,12 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Parameters
-from .fem.functions import (
-    PI,
-    WAVE,
-    rhs_time_factor,
-    solution_time_factor,
-)
+from .fem.functions import WAVE, rhs_time_factor, solution_time_factor
 from .fem.grid import Space, make_space
 from .ops.banded import apply_dense_1d
 

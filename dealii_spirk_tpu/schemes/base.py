@@ -97,5 +97,7 @@ def stage_times_factor(c_vec, t, tau, dim):
 def stage_mix(mat, W):
     """Dense stage mixing ``out_i = sum_j mat[i, j] W_j`` — the reference's
     basis change (ring rotation in SPIRK, reference ``main.cc:1443-1534``)
-    as a tiny einsum over the stage axis."""
-    return jnp.einsum("ij,j...->i...", mat, W)
+    as a tiny matmul over the stage axis (reshaped to a plain 2D GEMM so
+    XLA does not materialize transposed layouts)."""
+    q = W.shape[0]
+    return (mat @ W.reshape(q, -1)).reshape(W.shape)

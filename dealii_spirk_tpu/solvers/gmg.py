@@ -65,7 +65,7 @@ class GMGPrec(NamedTuple):
 # chains whose tiny kernels are pure launch overhead on a TPU.  This can
 # only strengthen the preconditioner relative to the reference (which
 # coarsens all the way to one cell, preconditioner.h:287-339).
-COARSE_SIZE_LIMIT = 4096
+COARSE_SIZE_LIMIT = 1024
 
 
 def _coarse_dense(space: Space, dtype, l0: int) -> tuple[np.ndarray, np.ndarray]:
