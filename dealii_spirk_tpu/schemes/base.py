@@ -100,4 +100,5 @@ def stage_mix(mat, W):
     as a tiny matmul over the stage axis (reshaped to a plain 2D GEMM so
     XLA does not materialize transposed layouts)."""
     q = W.shape[0]
-    return (mat @ W.reshape(q, -1)).reshape(W.shape)
+    out = mat @ W.reshape(q, -1)
+    return out.reshape((mat.shape[0],) + W.shape[1:])
