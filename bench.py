@@ -86,7 +86,7 @@ def _time_scheme(
 
 
 def main() -> None:
-    refinement = 6  # 63^3 interior DoFs per stage, q=4
+    refinement = 7  # 127^3 interior DoFs per stage, q=4
     t_native, n_outer, _problem = _time_scheme("irk_batched", refinement)
     # baseline: identical mathematics, mechanical (non-TPU-first) execution
     t_baseline, n_outer_b, _ = _time_scheme(
@@ -96,7 +96,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "spirk_q4_3d_r6_step_time",
+                "metric": "spirk_q4_3d_r7_step_time",
                 "value": round(t_native, 6),
                 "unit": "s/timestep",
                 "vs_baseline": round(t_baseline / t_native, 3),
