@@ -78,7 +78,7 @@ def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
     # batched applies through it
     p = (ops.mass_band.shape[0] - 1) // 2
     return (
-        p == 1
+        1 <= p <= 4
         and dim in (2, 3)
         and u.dtype == jnp.float32
         and u.ndim == dim + 1

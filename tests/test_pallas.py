@@ -17,19 +17,44 @@ from dealii_spirk_tpu.ops.pallas.stencil import (
 def test_supported_matrix():
     assert fused_stencil_supported(1, 3, jnp.float32)
     assert fused_stencil_supported(1, 2, jnp.float32)
-    assert not fused_stencil_supported(2, 3, jnp.float32)
+    assert fused_stencil_supported(3, 3, jnp.float32)
+    assert not fused_stencil_supported(5, 3, jnp.float32)
     assert not fused_stencil_supported(1, 3, jnp.float64)
 
 
-@pytest.mark.parametrize("dim,ref", [(2, 3), (2, 4), (3, 2), (3, 3)])
-def test_matches_xla_path(dim, ref):
-    lev = make_level(ref, 1)
+@pytest.mark.parametrize(
+    "dim,p,ref", [(2, 1, 3), (2, 1, 4), (3, 1, 2), (3, 1, 3),
+                  (2, 2, 3), (3, 2, 2), (2, 3, 2), (3, 3, 1), (2, 4, 2)]
+)
+def test_matches_xla_path(dim, p, ref):
+    lev = make_level(ref, p)
     ops = level_ops(lev, jnp.float32)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((lev.m,) * dim), jnp.float32)
     want = apply_shifted(ops, 1.7, 0.3, u, dim, "stencil")
     got = fused_stencil_apply(ops, 1.7, 0.3, u, dim, interpret=True)
-    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got, want, atol=4e-5)
+
+
+@pytest.mark.parametrize("dim,p", [(2, 2), (3, 2), (3, 3)])
+def test_ms_matches_xla_path(dim, p):
+    from dealii_spirk_tpu.ops.mass_laplace import (
+        apply_mass_batched,
+        apply_stiffness_batched,
+    )
+    from dealii_spirk_tpu.ops.pallas.stencil import fused_mass_stiffness_apply
+
+    lev = make_level(2, p)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(5)
+    W = jnp.asarray(rng.standard_normal((3,) + (lev.m,) * dim), jnp.float32)
+    got_m, got_k = fused_mass_stiffness_apply(ops, W, dim, interpret=True)
+    np.testing.assert_allclose(
+        got_m, apply_mass_batched(ops, W, dim), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        got_k, apply_stiffness_batched(ops, W, dim), atol=4e-5
+    )
 
 
 @pytest.mark.parametrize("dim", [2, 3])
