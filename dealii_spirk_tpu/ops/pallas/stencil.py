@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mass_laplace import LevelOps
 
-_BZ = 32  # slab thickness (3D); large slabs amortize per-block overhead
+_BZ = 16  # slab thickness (3D): large enough to amortize per-block
+# overhead, small enough that slab + intermediates + double-buffered
+# blocks stay within the 16MB VMEM budget at 128^3-class shapes
 _HIGH = jax.lax.Precision.HIGHEST
 
 
