@@ -228,6 +228,9 @@ class ComplexIRK(SchemeBase):
             with self.timers.phase("solution_update"):
                 u = self._update_jit(u, W, tau_)
                 u.block_until_ready()
+        if int(np.asarray(n_outer).max()) >= 1000:
+            # reference aborts on solver non-convergence (main.cc:1386-1389)
+            raise RuntimeError("pair GMRES did not converge within 1000 iterations")
         self.n_outer += int(np.asarray(n_outer).sum())
         self.n_inner += int(np.asarray(n_inner).sum())
         self.after_step(timestep_number)

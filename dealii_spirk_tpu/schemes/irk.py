@@ -224,6 +224,9 @@ class IRK(SchemeBase):
             with self.timers.phase("solution_update"):
                 u = self._update_jit(u, W, tau_)
                 u.block_until_ready()
+        if int(n_outer) >= 1000:
+            # reference aborts on solver non-convergence (main.cc:927-930)
+            raise RuntimeError("outer GMRES did not converge within 1000 iterations")
         self.n_outer += int(n_outer)
         if self.params.is_batched:
             # one block V-cycle counts once (reference main.cc:1115-1119)

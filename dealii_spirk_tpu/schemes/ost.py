@@ -67,6 +67,8 @@ class OneStepTheta(SchemeBase):
             with self.timers.phase("outer_solver"):
                 u, n_it = self._step_jit(u, *targs, prec)
                 u.block_until_ready()
+        if int(n_it) >= 1000:
+            raise RuntimeError("CG did not converge within 1000 iterations")
         self.n_outer += int(n_it)
         self.after_step(timestep_number)
         return u
