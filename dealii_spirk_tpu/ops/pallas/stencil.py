@@ -45,7 +45,10 @@ from ..mass_laplace import LevelOps
 _BZ = 16  # slab thickness (3D): large enough to amortize per-block
 # overhead, small enough that slab + intermediates + double-buffered
 # blocks stay within the 16MB VMEM budget at 128^3-class shapes
-_HIGH = jax.lax.Precision.HIGHEST
+# 3-pass bf16 matmul (~1e-6 relative error) — ample headroom below solver
+# tolerances at half the MXU cost of the 6-pass f32 mode; the default
+# single-pass bf16 (~3e-3) is NOT enough and stalls Krylov convergence.
+_HIGH = jax.lax.Precision.HIGH
 
 
 def _ceil(x: int, m: int) -> int:
@@ -89,7 +92,10 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
-def _make_kernel_3d(p: int):
+def _make_kernel_3d(p: int, z_off: int = 0):
+    """``z_off``: element offset of the data region on the slab axis minus
+    p (0 for the classic layout with a p-ghost, bz for the halo-block
+    padded layout used inside the V-cycle)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch, sem):
@@ -98,7 +104,7 @@ def _make_kernel_3d(p: int):
         bz = out_ref.shape[1]
         ny_p = out_ref.shape[2]
         cp = pltpu.make_async_copy(
-            u_hbm.at[iq, pl.ds(iz * bz, bz + 2 * p)], scratch, sem
+            u_hbm.at[iq, pl.ds(iz * bz + z_off, bz + 2 * p)], scratch, sem
         )
         cp.start()
         cp.wait()
@@ -138,7 +144,7 @@ def _make_kernel_3d(p: int):
     return kernel
 
 
-def _make_kernel_ms_3d(p: int):
+def _make_kernel_ms_3d(p: int, z_off: int = 0):
     """Dual-output: M u and K u from one slab pass (for the outer-system
     vmult, reference main.cc:1014-1028)."""
     nb = 2 * p + 1
@@ -152,7 +158,7 @@ def _make_kernel_ms_3d(p: int):
         ny_p = outm_ref.shape[2]
         nx_p = outm_ref.shape[3]
         cp = pltpu.make_async_copy(
-            u_hbm.at[iq, pl.ds(iz * bz, bz + 2 * p)], scratch, sem
+            u_hbm.at[iq, pl.ds(iz * bz + z_off, bz + 2 * p)], scratch, sem
         )
         cp.start()
         cp.wait()
@@ -450,3 +456,152 @@ def fused_mass_stiffness_apply(
     p = (ops.mass_band.shape[0] - 1) // 2
     zb, yb, xmat = _tables(ops, u, p, dim)
     return _fused_ms_apply(zb, yb, xmat, u, p=p, dim=dim, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# zero-copy padded layout (used inside the multigrid V-cycle)
+# ---------------------------------------------------------------------------
+#
+# Every per-apply jnp.pad / slice is a full extra HBM pass.  Inside the
+# V-cycle the smoother applies the operator ~10x per level, so fields are
+# kept in a *canonical padded layout* across the whole cycle:
+#
+#   3D: (q, bz + nzp + bz, ny_p, nx_p), data block at z-offset bz
+#   2D: (q, ny_p, nx_p),                data block at offset 0
+#
+# The leading/trailing z halo blocks let the slab DMA read its p-plane
+# halo without any repadding; their contents are IRRELEVANT GARBAGE —
+# per-row band weights are zero for every out-of-range coupling, so halo
+# and pad values never reach valid output rows, and all V-cycle operations
+# (smoothing, residuals, transfers) are elementwise or band applications
+# that never reduce over the pad region.
+
+
+def padded_shape(spatial, p: int, dim: int):
+    """Canonical padded shape (without the leading batch axis)."""
+    if dim == 3:
+        nz, ny, nx = spatial
+        bz = _BZ if nz >= _BZ else 8
+        nzp = _ceil(nz, bz)
+        return (bz + nzp + bz, _ceil(ny + p, 8), _ceil(nx + p, 128))
+    ny, nx = spatial
+    return (_ceil(ny + p, 8), _ceil(nx + p, 128))
+
+
+def pad_field(u, spatial, p: int, dim: int):
+    """(q, *spatial) -> canonical padded layout."""
+    ps = padded_shape(spatial, p, dim)
+    if dim == 3:
+        bz = _BZ if spatial[0] >= _BZ else 8
+        pad = (
+            (0, 0),
+            (bz, ps[0] - bz - spatial[0]),
+            (0, ps[1] - spatial[1]),
+            (0, ps[2] - spatial[2]),
+        )
+    else:
+        pad = ((0, 0), (0, ps[0] - spatial[0]), (0, ps[1] - spatial[1]))
+    return jnp.pad(u, pad)
+
+
+def unpad_field(u_pad, spatial, p: int, dim: int):
+    if dim == 3:
+        bz = _BZ if spatial[0] >= _BZ else 8
+        return u_pad[
+            :, bz : bz + spatial[0], : spatial[1], : spatial[2]
+        ]
+    return u_pad[:, : spatial[0], : spatial[1]]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "dim", "spatial", "interpret")
+)
+def _fused_apply_padded(
+    w, zb, yb, xmat, u_pad, *, p, dim, spatial, interpret=False
+):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q = u_pad.shape[0]
+        nx_p = xmat.shape[1]
+        if dim == 3:
+            bz = _BZ if spatial[0] >= _BZ else 8
+            nzp = u_pad.shape[1] - 2 * bz
+            ny_p = u_pad.shape[2]
+            out = pl.pallas_call(
+                _make_kernel_3d(p, z_off=bz - p),
+                grid=(q, nzp // bz),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                # write into the interior blocks; the halo blocks stay
+                # garbage, which every consumer tolerates (see above)
+                out_specs=pl.BlockSpec(
+                    (1, bz, ny_p, nx_p),
+                    lambda iq, iz: _i32(iq, iz + 1, 0, 0),
+                ),
+                out_shape=jax.ShapeDtypeStruct(u_pad.shape, jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                ],
+                interpret=interpret,
+            )(w, zb, yb, xmat, u_pad)
+            # the kernel never writes the halo blocks; uninitialized
+            # memory may hold NaNs, and 0 * NaN = NaN would poison the
+            # next apply through the "zero band weight" argument — zero
+            # them explicitly (two tiny block writes)
+            out = out.at[:, :bz].set(0.0)
+            return out.at[:, bz + nzp :].set(0.0)
+        ny_p = u_pad.shape[1]
+        return pl.pallas_call(
+            _make_kernel_2d(p),
+            grid=(q,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(u_pad.shape, jnp.float32),
+            interpret=interpret,
+        )(w, yb, xmat, u_pad)
+
+
+def fused_stencil_apply_padded(
+    ops: LevelOps, a, b, u_pad, spatial, dim: int, *, interpret: bool = False
+):
+    """(a M + b K) on a canonical-padded stage block, zero extra copies.
+
+    ``u_pad``: (q, *padded_shape(spatial, p, dim)); returns the same
+    layout.  Halo/pad regions of the result are unspecified.
+    """
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = u_pad.shape[0]
+    a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
+    b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
+    w = jnp.stack([a_arr, b_arr], axis=1)
+    nx_p = u_pad.shape[-1]
+    xmat = jnp.concatenate(
+        [
+            _dense_padded(ops.mass_band, nx_p).T,
+            _dense_padded(ops.stiff_band, nx_p).T,
+        ],
+        axis=0,
+    )
+    if dim == 3:
+        bz = _BZ if spatial[0] >= _BZ else 8
+        zb = _band_table(ops, u_pad.shape[1] - 2 * bz)
+        yb = _band_table(ops, u_pad.shape[2])
+    else:
+        zb = None
+        yb = _band_table(ops, u_pad.shape[1])
+    return _fused_apply_padded(
+        w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
+        interpret=interpret,
+    )

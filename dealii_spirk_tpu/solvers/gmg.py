@@ -58,6 +58,9 @@ class GMGPrec(NamedTuple):
     thetas: tuple[jnp.ndarray, ...]
     deltas: tuple[jnp.ndarray, ...]
     coarse_inv: jnp.ndarray
+    # canonical-padded Jacobi diagonals for the zero-copy pallas V-cycle
+    # (None outside "pallas" batched mode)
+    inv_diags_padded: tuple[jnp.ndarray, ...] | None = None
 
 
 # levels at or below this DoF count are dropped and solved exactly by the
@@ -181,11 +184,22 @@ def gmg_reinit(
     else:
         coarse_inv = jnp.linalg.inv(a * gmg.coarse_mass + b * gmg.coarse_stiff)
 
+    inv_diags_padded = None
+    if mode == "pallas" and batch:
+        from ..ops.pallas.stencil import pad_field
+
+        p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
+        inv_diags_padded = tuple(
+            pad_field(invd, (ops.m,) * dim, p, dim)
+            for invd, ops in zip(inv_diags, gmg.level_ops)
+        )
+
     return GMGPrec(
         inv_diags=tuple(inv_diags),
         thetas=tuple(thetas),
         deltas=tuple(deltas),
         coarse_inv=coarse_inv,
+        inv_diags_padded=inv_diags_padded,
     )
 
 
@@ -210,6 +224,7 @@ def vcycle(
     *,
     batch: bool = False,
     degree: int = SMOOTHER_DEGREE,
+    interpret: bool = False,
 ):
     """One multigrid V-cycle approximating (a*M + b*K)^-1 r.
 
@@ -219,6 +234,10 @@ def vcycle(
     as the inner-CG preconditioner or directly when InnerTolerance == 0,
     reference ``main.cc:1126-1148``).
     """
+    if batch and mode == "pallas" and prec.inv_diags_padded is not None:
+        return _vcycle_padded(
+            gmg, prec, a, b, r, dim, degree=degree, interpret=interpret
+        )
     n_levels = len(gmg.level_ops)
 
     def solve(l, rl):
@@ -252,3 +271,90 @@ def vcycle(
         return x
 
     return solve(n_levels - 1, r)
+
+
+def _vcycle_padded(
+    gmg: GMGData,
+    prec: GMGPrec,
+    a,
+    b,
+    r,
+    dim: int,
+    *,
+    degree: int = SMOOTHER_DEGREE,
+    interpret: bool = False,
+):
+    """Zero-copy V-cycle: every field lives in the canonical padded layout
+    across the whole cycle (see ``ops/pallas/stencil.py``), so smoother
+    applies pay no per-apply pad/slice passes.  Batched (stage-block)
+    operands only."""
+    from ..ops.banded import apply_dense_1d
+    from ..ops.pallas import stencil as st
+
+    p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
+    n_levels = len(gmg.level_ops)
+    spatials = [(ops.m,) * dim for ops in gmg.level_ops]
+
+    def _offsets(l):
+        sp = spatials[l]
+        if dim == 3:
+            bz = st._BZ if sp[0] >= st._BZ else 8
+            return (bz, 0, 0)
+        return (0, 0)
+
+    def _transfer_mats(l):
+        """Padded-layout 1D transfer matrices between levels l and l+1
+        (built from trace-time-constant prolongations)."""
+        P1 = np.asarray(gmg.prolongs[l], dtype=np.float32)  # (m_f, m_c)
+        ps_f = st.padded_shape(spatials[l + 1], p, dim)
+        ps_c = st.padded_shape(spatials[l], p, dim)
+        off_f = _offsets(l + 1)
+        off_c = _offsets(l)
+        mats_P, mats_R = [], []
+        for ax in range(dim):
+            Pp = np.zeros((ps_f[ax], ps_c[ax]), np.float32)
+            Pp[
+                off_f[ax] : off_f[ax] + P1.shape[0],
+                off_c[ax] : off_c[ax] + P1.shape[1],
+            ] = P1
+            mats_P.append(jnp.asarray(Pp))
+            mats_R.append(jnp.asarray(Pp.T))
+        return mats_P, mats_R
+
+    def _apply_axes(mats, u):
+        for ax_i, m_ in enumerate(mats):
+            u = apply_dense_1d(m_, u, u.ndim - dim + ax_i)
+        return u
+
+    def _A(l):
+        ops = gmg.level_ops[l]
+        sp = spatials[l]
+        return lambda up: st.fused_stencil_apply_padded(
+            ops, a, b, up, sp, dim, interpret=interpret
+        )
+
+    def solve(l, rl_pad):
+        if l == 0:
+            rl = st.unpad_field(rl_pad, spatials[0], p, dim)
+            x = _coarse_solve(prec, rl, dim, True)
+            return st.pad_field(x, spatials[0], p, dim)
+        A = _A(l)
+        invd = prec.inv_diags_padded[l]
+        x = chebyshev_apply(
+            A, invd, prec.thetas[l], prec.deltas[l], rl_pad,
+            degree=degree, batch=True,
+        )
+        res = rl_pad - A(x)
+        mats_P, mats_R = _transfer_mats(l - 1)
+        rc = _apply_axes(mats_R, res)
+        xc = solve(l - 1, rc)
+        x = x + _apply_axes(mats_P, xc)
+        x = chebyshev_apply(
+            A, invd, prec.thetas[l], prec.deltas[l], rl_pad,
+            x0=x, degree=degree, batch=True,
+        )
+        return x
+
+    r_pad = st.pad_field(r, spatials[-1], p, dim)
+    out = solve(n_levels - 1, r_pad)
+    return st.unpad_field(out, spatials[-1], p, dim)

@@ -102,3 +102,63 @@ def test_dense_padded_matches_band():
         np.asarray(A)[: lev.m, : lev.m], lev.mass_dense, atol=1e-6
     )
     assert np.all(np.asarray(A)[lev.m :, :] == 0)
+
+
+def test_padded_vcycle_matches_classic():
+    """The zero-copy padded V-cycle must equal the classic one."""
+    import jax.numpy as jnp
+
+    from dealii_spirk_tpu.fem.grid import make_space
+    from dealii_spirk_tpu.ops.pallas.stencil import pad_field
+    from dealii_spirk_tpu.solvers.gmg import (
+        _vcycle_padded,
+        build_gmg_data,
+        gmg_reinit,
+        vcycle,
+    )
+
+    for dim, pdeg, ref in [(2, 1, 4), (3, 1, 3), (3, 2, 2)]:
+        space = make_space(dim, pdeg, ref)
+        gmg = build_gmg_data(space, dtype=jnp.float32, with_dense=False)
+        shifts = jnp.asarray([1.5, 4.0], jnp.float32)
+        prec = gmg_reinit(gmg, shifts, 0.1, dim, mode="stencil", batch=True)
+        prec = prec._replace(
+            inv_diags_padded=tuple(
+                pad_field(invd, (ops.m,) * dim, pdeg, dim)
+                for invd, ops in zip(prec.inv_diags, gmg.level_ops)
+            )
+        )
+        rng = np.random.default_rng(2)
+        r = jnp.asarray(
+            rng.standard_normal((2,) + space.shape), jnp.float32
+        )
+        out_cls = vcycle(gmg, prec, shifts, 0.1, r, dim, "stencil", batch=True)
+        out_pad = _vcycle_padded(
+            gmg, prec, shifts, 0.1, r, dim, interpret=True
+        )
+        rel = float(jnp.abs(out_pad - out_cls).max() / jnp.abs(out_cls).max())
+        assert rel < 1e-5, (dim, pdeg, rel)
+
+
+def test_padded_apply_matches():
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas.stencil import (
+        fused_stencil_apply_padded,
+        pad_field,
+        unpad_field,
+    )
+
+    rng = np.random.default_rng(0)
+    for dim, p, r in [(3, 1, 3), (3, 2, 2), (2, 1, 4)]:
+        lev = make_level(r, p)
+        ops = level_ops(lev, jnp.float32)
+        spatial = (lev.m,) * dim
+        W = jnp.asarray(rng.standard_normal((3,) + spatial), jnp.float32)
+        Wp = pad_field(W, spatial, p, dim)
+        d = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+        outp = fused_stencil_apply_padded(
+            ops, d, 0.3, Wp, spatial, dim, interpret=True
+        )
+        out = unpad_field(outp, spatial, p, dim)
+        want = apply_shifted_batched(ops, d, 0.3, W, dim, "stencil")
+        np.testing.assert_allclose(out, want, atol=4e-5)
