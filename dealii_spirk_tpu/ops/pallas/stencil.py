@@ -45,10 +45,9 @@ from ..mass_laplace import LevelOps
 _BZ = 16  # slab thickness (3D): large enough to amortize per-block
 # overhead, small enough that slab + intermediates + double-buffered
 # blocks stay within the 16MB VMEM budget at 128^3-class shapes
-# 3-pass bf16 matmul (~1e-6 relative error) — ample headroom below solver
-# tolerances at half the MXU cost of the 6-pass f32 mode; the default
-# single-pass bf16 (~3e-3) is NOT enough and stalls Krylov convergence.
-_HIGH = jax.lax.Precision.HIGH
+# full f32 matmul: Mosaic rejects Precision.HIGH, and the default
+# single-pass bf16 (~3e-3 rel error) stalls Krylov convergence
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _ceil(x: int, m: int) -> int:
