@@ -551,11 +551,12 @@ def _fused_apply_padded(
                 interpret=interpret,
             )(w, zb, yb, xmat, u_pad)
             # the kernel never writes the halo blocks; uninitialized
-            # memory may hold NaNs, and 0 * NaN = NaN would poison the
-            # next apply through the "zero band weight" argument — zero
-            # them explicitly (two tiny block writes)
-            out = out.at[:, :bz].set(0.0)
-            return out.at[:, bz + nzp :].set(0.0)
+            # memory may hold NaNs, and 0 * NaN = NaN would poison any
+            # consumer.  Only the p planes adjacent to the data are ever
+            # read by the slab DMA — zero exactly those (tiny writes);
+            # the V-cycle scrubs full halos before axis-contracting ops.
+            out = out.at[:, bz - p : bz].set(0.0)
+            return out.at[:, bz + nzp : bz + nzp + p].set(0.0)
         ny_p = u_pad.shape[1]
         return pl.pallas_call(
             _make_kernel_2d(p),

@@ -345,6 +345,13 @@ def _vcycle_padded(
             degree=degree, batch=True,
         )
         res = rl_pad - A(x)
+        if dim == 3:
+            # the restriction contracts over the full padded axis; halo
+            # blocks may hold non-finite garbage (0 * NaN = NaN), so scrub
+            # them before the transfer
+            bz = st._BZ if spatials[l][0] >= st._BZ else 8
+            res = res.at[:, :bz].set(0.0)
+            res = res.at[:, res.shape[1] - bz :].set(0.0)
         mats_P, mats_R = _transfer_mats(l - 1)
         rc = _apply_axes(mats_R, res)
         xc = solve(l - 1, rc)
