@@ -344,12 +344,12 @@ def _vcycle_padded(
             A, invd, prec.thetas[l], prec.deltas[l], rl_pad,
             degree=degree, batch=True,
         )
+        bz = st._BZ if spatials[l][0] >= st._BZ else 8
         res = rl_pad - A(x)
         if dim == 3:
             # the restriction contracts over the full padded axis; halo
             # blocks may hold non-finite garbage (0 * NaN = NaN), so scrub
             # them before the transfer
-            bz = st._BZ if spatials[l][0] >= st._BZ else 8
             res = res.at[:, :bz].set(0.0)
             res = res.at[:, res.shape[1] - bz :].set(0.0)
         mats_P, mats_R = _transfer_mats(l - 1)
@@ -360,6 +360,13 @@ def _vcycle_padded(
             A, invd, prec.thetas[l], prec.deltas[l], rl_pad,
             x0=x, degree=degree, batch=True,
         )
+        if dim == 3:
+            # scrub halos before this level's result is prolongated by the
+            # parent (the transfer contracts over the full padded axis and
+            # 0 * NaN = NaN; smoothing accumulates non-finite halo garbage
+            # beyond the p DMA-adjacent planes the kernels keep zero)
+            x = x.at[:, :bz].set(0.0)
+            x = x.at[:, x.shape[1] - bz :].set(0.0)
         return x
 
     r_pad = st.pad_field(r, spatials[-1], p, dim)

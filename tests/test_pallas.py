@@ -117,7 +117,10 @@ def test_padded_vcycle_matches_classic():
         vcycle,
     )
 
-    for dim, pdeg, ref in [(2, 1, 4), (3, 1, 3), (3, 2, 2)]:
+    # include a >= 3-level hierarchy: only those exercise prolongation
+    # from a *smoothed* level (the 2-level case prolongates the always-
+    # clean dense coarse solve and cannot catch halo-garbage bugs)
+    for dim, pdeg, ref in [(2, 1, 7), (3, 1, 5), (3, 2, 2)]:
         space = make_space(dim, pdeg, ref)
         gmg = build_gmg_data(space, dtype=jnp.float32, with_dense=False)
         shifts = jnp.asarray([1.5, 4.0], jnp.float32)
