@@ -42,9 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mass_laplace import LevelOps
 
-_BZ = 16  # slab thickness (3D): large enough to amortize per-block
-# overhead, small enough that slab + intermediates + double-buffered
-# blocks stay within the 16MB VMEM budget at 128^3-class shapes
+_BZ = 8  # slab thickness (3D). Small slabs keep the padded layout's
+# halo blocks (one per side, thickness _BZ) cheap, fit VMEM comfortably,
+# and measured no slower than 16/32 per block on v5e.
 # full f32 matmul: Mosaic rejects Precision.HIGH, and the default
 # single-pass bf16 (~3e-3 rel error) stalls Krylov convergence
 _HIGH = jax.lax.Precision.HIGHEST
