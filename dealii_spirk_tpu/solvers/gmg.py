@@ -70,6 +70,15 @@ class GMGPrec(NamedTuple):
 # coarsens all the way to one cell, preconditioner.h:287-339).
 COARSE_SIZE_LIMIT = 1024
 
+# Experimental: keep all V-cycle fields in the canonical padded layout
+# (ops/pallas/stencil.py) to skip per-apply pad/slice passes.  Measured
+# *slower* on v5e at 127^3 (the inflated z extents and halo scrubs cost
+# more than the pads they remove), so off by default; flip via env for
+# future experiments on hardware with different relayout costs.
+import os as _os
+
+PADDED_VCYCLE = _os.environ.get("SPIRK_PADDED_VCYCLE", "0") == "1"
+
 
 def _coarse_dense(space: Space, dtype, l0: int) -> tuple[np.ndarray, np.ndarray]:
     lev = space.levels[l0]
@@ -185,7 +194,7 @@ def gmg_reinit(
         coarse_inv = jnp.linalg.inv(a * gmg.coarse_mass + b * gmg.coarse_stiff)
 
     inv_diags_padded = None
-    if mode == "pallas" and batch:
+    if mode == "pallas" and batch and PADDED_VCYCLE:
         from ..ops.pallas.stencil import pad_field
 
         p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2

@@ -340,16 +340,27 @@ def gmres(
             y = jax.scipy.linalg.solve_triangular(Afull, gl, lower=False)
             return y
 
+        # accumulate dx = sum_j y_j V_j with a dynamic loop over the live
+        # Krylov columns only — a dense contraction would read the whole
+        # (R+1)-vector basis buffer regardless of how few columns are used
         if batch:
             # per-lane Krylov size this cycle: count of columns written
             k_sz = jnp.sum(jnp.abs(H[..., idx, idx]) > 0, axis=-1)
-            y = jax.vmap(solve_lane)(Rm, g, k_sz)
-            # per-lane contraction dx[l] = sum_j y[l, j] V[j, l]
-            dx = jnp.einsum("lj,jl...->l...", y, V[:R])
+            y = jax.vmap(solve_lane)(Rm, g, k_sz)  # zero beyond each lane's k
+            k_max = jnp.max(k_sz)
+
+            def acc_fn(j, dx):
+                return dx + _expand(y[:, j], x, batch) * V[j]
+
+            dx = lax.fori_loop(0, k_max, acc_fn, jnp.zeros_like(x))
         else:
             k_sz = jnp.sum(jnp.abs(Rm[idx, idx]) > 0)
             y = solve_lane(Rm, g, k_sz)
-            dx = jnp.tensordot(y, V[:R], axes=((0,), (0,)))
+
+            def acc_fn(j, dx):
+                return dx + y[j] * V[j]
+
+            dx = lax.fori_loop(0, k_sz, acc_fn, jnp.zeros_like(x))
         return x + dx, res, it, carry
 
     def outer_cond(st):
