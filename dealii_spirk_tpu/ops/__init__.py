@@ -14,8 +14,12 @@ from .mass_laplace import (
     LevelOps,
     apply_complex,
     apply_mass,
+    apply_mass_batched,
+    apply_mass_stiffness_batched,
     apply_shifted,
+    apply_shifted_batched,
     apply_stiffness,
+    apply_stiffness_batched,
     level_ops,
     operator_diagonal,
 )
@@ -27,8 +31,12 @@ __all__ = [
     "LevelOps",
     "level_ops",
     "apply_mass",
+    "apply_mass_batched",
+    "apply_mass_stiffness_batched",
     "apply_stiffness",
+    "apply_stiffness_batched",
     "apply_shifted",
+    "apply_shifted_batched",
     "apply_complex",
     "operator_diagonal",
     "prolong",
