@@ -86,12 +86,21 @@ def _time_scheme(
 
 
 def main() -> None:
+    import sys
+
     refinement = 7  # 127^3 interior DoFs per stage, q=4
     t_native, n_outer, _problem = _time_scheme("irk_batched", refinement)
     # baseline: identical mathematics, mechanical (non-TPU-first) execution
     t_baseline, n_outer_b, _ = _time_scheme(
         "irk_batched", refinement, operator_mode="stencil"
     )
+    print(
+        f"native: {t_native * 1e3:.1f} ms ({n_outer} outer); "
+        f"baseline: {t_baseline * 1e3:.1f} ms ({n_outer_b} outer)",
+        file=sys.stderr,
+    )
+    if n_outer <= 0 or n_outer_b <= 0 or n_outer >= 1000 or n_outer_b >= 1000:
+        raise RuntimeError("benchmark solver did not converge properly")
 
     print(
         json.dumps(
