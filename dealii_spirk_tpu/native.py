@@ -49,6 +49,16 @@ class NativeCore:
                 _DP,
                 _DP,
             ),
+            "spirk_complex_tables": (
+                ctypes.c_int,
+                _DP,
+                _DP,
+                _DP,
+                _DP,
+                _DP,
+                _DP,
+                _DP,
+            ),
         }.items():
             fn = getattr(lib, name)
             fn.argtypes = list(argtypes)
@@ -115,6 +125,38 @@ class NativeCore:
         ):
             raise RuntimeError("native radau_tables failed")
         return dict(A=A, A_inv=A_inv, b=b, c=c, L=L, T=T, T_inv=T_inv, D=D)
+
+    def complex_tables(self, A_inv: np.ndarray):
+        """Complex eigendecomposition of A_inv with the reference's pair
+        conventions (native Hessenberg + complex-shift QR + inverse
+        iteration; cf. tables/irk_ev.m:52-72)."""
+        s = A_inv.shape[0]
+        A_inv = np.ascontiguousarray(A_inv, dtype=np.float64)
+        T_re = np.zeros((s, s))
+        T_im = np.zeros((s, s))
+        T_inv_re = np.zeros((s, s))
+        T_inv_im = np.zeros((s, s))
+        D_re = np.zeros(s)
+        D_im = np.zeros(s)
+        if self._lib.spirk_complex_tables(
+            s,
+            _as_dp(A_inv),
+            _as_dp(T_re),
+            _as_dp(T_im),
+            _as_dp(T_inv_re),
+            _as_dp(T_inv_im),
+            _as_dp(D_re),
+            _as_dp(D_im),
+        ):
+            raise RuntimeError("native complex_tables failed")
+        return dict(
+            T_re=T_re,
+            T_im=T_im,
+            T_inv_re=T_inv_re,
+            T_inv_im=T_inv_im,
+            D_re=D_re,
+            D_im=D_im,
+        )
 
 
 _core: NativeCore | None | bool = False  # False = not attempted

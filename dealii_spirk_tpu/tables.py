@@ -267,7 +267,16 @@ def irk_tables(n_stages: int) -> IRKTables:
         V = V[:, order]
         T_inv = np.linalg.inv(V)
 
-    w, Vc, Vc_inv = _complex_diagonalization(A_inv)
+    if nc is not None:
+        try:
+            ct = nc.complex_tables(A_inv)
+            w = ct["D_re"] + 1j * ct["D_im"]
+            Vc = ct["T_re"] + 1j * ct["T_im"]
+            Vc_inv = ct["T_inv_re"] + 1j * ct["T_inv_im"]
+        except RuntimeError:
+            w, Vc, Vc_inv = _complex_diagonalization(A_inv)
+    else:
+        w, Vc, Vc_inv = _complex_diagonalization(A_inv)
 
     return IRKTables(
         n_stages=n_stages,

@@ -18,6 +18,7 @@
 //
 // Build: make -C native   (g++ -O2 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <vector>
@@ -353,6 +354,243 @@ int spirk_radau_tables(int s, double *A, double *A_inv, double *b, double *c,
       L[i * s + j] = (double)Lf[(size_t)i * s + j];
       T[i * s + j] = (double)V[(size_t)i * s + j];
       T_inv[i * s + j] = (double)Vinv[(size_t)i * s + j];
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// complex eigendecomposition of small real matrices (Radau A^{-1})
+// ---------------------------------------------------------------------------
+//
+// Native counterpart of the `[V,D] = eig(Ainv)` branch of the reference's
+// Octave table generator (tables/irk_ev.m:52-72): Hessenberg reduction +
+// Francis QR iteration for the eigenvalues, inverse iteration with complex
+// LU for the eigenvectors.  Matrices are tiny (s <= 10), all arithmetic in
+// long double complex.
+
+#include <complex>
+
+namespace {
+
+using cld = std::complex<ld>;
+
+// Hessenberg reduction by Householder reflections (in place).
+void hessenberg(std::vector<ld> &A, int n) {
+  for (int k = 0; k < n - 2; ++k) {
+    ld norm = 0.0L;
+    for (int i = k + 1; i < n; ++i) norm += A[(size_t)i * n + k] * A[(size_t)i * n + k];
+    norm = sqrtl(norm);
+    if (norm == 0.0L) continue;
+    ld alpha = A[(size_t)(k + 1) * n + k] >= 0 ? -norm : norm;
+    std::vector<ld> v(n, 0.0L);
+    v[k + 1] = A[(size_t)(k + 1) * n + k] - alpha;
+    for (int i = k + 2; i < n; ++i) v[i] = A[(size_t)i * n + k];
+    ld vnorm2 = 0.0L;
+    for (int i = k + 1; i < n; ++i) vnorm2 += v[i] * v[i];
+    if (vnorm2 == 0.0L) continue;
+    // A <- (I - 2vv^T/v^Tv) A (I - 2vv^T/v^Tv)
+    for (int j = 0; j < n; ++j) {
+      ld dot = 0.0L;
+      for (int i = k + 1; i < n; ++i) dot += v[i] * A[(size_t)i * n + j];
+      dot = 2.0L * dot / vnorm2;
+      for (int i = k + 1; i < n; ++i) A[(size_t)i * n + j] -= dot * v[i];
+    }
+    for (int i = 0; i < n; ++i) {
+      ld dot = 0.0L;
+      for (int j = k + 1; j < n; ++j) dot += A[(size_t)i * n + j] * v[j];
+      dot = 2.0L * dot / vnorm2;
+      for (int j = k + 1; j < n; ++j) A[(size_t)i * n + j] -= dot * v[j];
+    }
+  }
+}
+
+// Eigenvalues of an upper-Hessenberg matrix by complex-shifted QR
+// (complex Givens sweeps converge for conjugate pairs without the
+// double-shift machinery; fine for the tiny matrices here).
+int hessenberg_eigs(const std::vector<ld> &H_in, int n, std::vector<cld> &eigs) {
+  std::vector<cld> H((size_t)n * n);
+  for (int i = 0; i < n * n; ++i) H[i] = cld(H_in[i]);
+  eigs.clear();
+  int m = n;
+  int iter_total = 0;
+  while (m > 0) {
+    if (m == 1) {
+      eigs.push_back(H[0]);
+      --m;
+      continue;
+    }
+    // deflate the trailing subdiagonal when converged
+    ld sub = std::abs(H[(size_t)(m - 1) * n + (m - 2)]);
+    ld scale = std::abs(H[(size_t)(m - 1) * n + (m - 1)]) +
+               std::abs(H[(size_t)(m - 2) * n + (m - 2)]);
+    if (sub < 1e-24L * (scale > 0 ? scale : 1.0L)) {
+      eigs.push_back(H[(size_t)(m - 1) * n + (m - 1)]);
+      --m;
+      continue;
+    }
+    if (++iter_total > 2000 * n) return 1;
+    // Wilkinson shift from the trailing complex 2x2
+    cld a = H[(size_t)(m - 2) * n + (m - 2)], b = H[(size_t)(m - 2) * n + (m - 1)];
+    cld c = H[(size_t)(m - 1) * n + (m - 2)], d = H[(size_t)(m - 1) * n + (m - 1)];
+    cld tr = a + d, det = a * d - b * c;
+    cld disc = std::sqrt(tr * tr / cld(4) - det);
+    cld r1 = tr / cld(2) + disc, r2 = tr / cld(2) - disc;
+    cld mu = (std::abs(r1 - d) < std::abs(r2 - d)) ? r1 : r2;
+    // shifted complex QR step on the active m x m block
+    for (int i = 0; i < m; ++i) H[(size_t)i * n + i] -= mu;
+    std::vector<cld> cs(m, cld(1)), sn(m, cld(0));
+    for (int k = 0; k < m - 1; ++k) {
+      cld x = H[(size_t)k * n + k], y = H[(size_t)(k + 1) * n + k];
+      ld r = sqrtl(std::norm(x) + std::norm(y));
+      if (r == 0.0L) { cs[k] = cld(1); sn[k] = cld(0); continue; }
+      cs[k] = std::conj(x) / r;
+      sn[k] = std::conj(y) / r;
+      for (int j = k; j < m; ++j) {
+        cld h1 = H[(size_t)k * n + j], h2 = H[(size_t)(k + 1) * n + j];
+        H[(size_t)k * n + j] = cs[k] * h1 + sn[k] * h2;
+        H[(size_t)(k + 1) * n + j] = -std::conj(sn[k]) * h1 + std::conj(cs[k]) * h2;
+      }
+    }
+    // RQ: apply the conjugate rotations from the right
+    for (int k = 0; k < m - 1; ++k) {
+      int imax = (k + 2 < m) ? k + 2 : m - 1;
+      for (int i = 0; i <= imax; ++i) {
+        cld h1 = H[(size_t)i * n + k], h2 = H[(size_t)i * n + (k + 1)];
+        H[(size_t)i * n + k] = h1 * std::conj(cs[k]) + h2 * std::conj(sn[k]);
+        H[(size_t)i * n + (k + 1)] = -h1 * sn[k] + h2 * cs[k];
+      }
+    }
+    for (int i = 0; i < m; ++i) H[(size_t)i * n + i] += mu;
+  }
+  return 0;
+}
+
+// Complex LU solve with partial pivoting (in place).
+int csolve(std::vector<cld> M, std::vector<cld> &x, int n) {
+  std::vector<int> piv(n);
+  for (int i = 0; i < n; ++i) piv[i] = i;
+  for (int col = 0; col < n; ++col) {
+    int p = col;
+    for (int r = col + 1; r < n; ++r)
+      if (std::abs(M[(size_t)r * n + col]) > std::abs(M[(size_t)p * n + col]))
+        p = r;
+    if (p != col) {
+      for (int k = 0; k < n; ++k) std::swap(M[(size_t)p * n + k], M[(size_t)col * n + k]);
+      std::swap(x[p], x[col]);
+    }
+    cld d = M[(size_t)col * n + col];
+    if (std::abs(d) < 1e-300L) d = cld(1e-300L);
+    for (int r = col + 1; r < n; ++r) {
+      cld f = M[(size_t)r * n + col] / d;
+      if (f == cld(0)) continue;
+      for (int k = col; k < n; ++k) M[(size_t)r * n + k] -= f * M[(size_t)col * n + k];
+      x[r] -= f * x[col];
+    }
+  }
+  for (int r = n - 1; r >= 0; --r) {
+    cld acc = x[r];
+    for (int k = r + 1; k < n; ++k) acc -= M[(size_t)r * n + k] * x[k];
+    x[r] = acc / M[(size_t)r * n + r];
+  }
+  return 0;
+}
+
+int cinvert(std::vector<cld> &A, int n) {
+  std::vector<cld> inv((size_t)n * n);
+  for (int col = 0; col < n; ++col) {
+    std::vector<cld> e(n, cld(0));
+    e[col] = cld(1);
+    std::vector<cld> x = e;
+    if (csolve(A, x, n)) return 1;
+    for (int r = 0; r < n; ++r) inv[(size_t)r * n + col] = x[r];
+  }
+  A = inv;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Complex eigendecomposition of the s x s Radau A^{-1} with the reference's
+// conventions (tables/irk_ev.m:52-72): eigenpairs sorted by descending
+// |lambda|^2, conjugate pairs adjacent with +imag first, unit-norm columns,
+// exact column conjugacy, V_inv = V^{-1}.
+int spirk_complex_tables(int s, const double *A_inv_in, double *T_re,
+                         double *T_im, double *T_inv_re, double *T_inv_im,
+                         double *D_re, double *D_im) {
+  int n = s;
+  std::vector<ld> A((size_t)n * n);
+  for (int i = 0; i < n * n; ++i) A[i] = (ld)A_inv_in[i];
+
+  std::vector<ld> H(A);
+  hessenberg(H, n);
+  std::vector<cld> eigs;
+  if (hessenberg_eigs(H, n, eigs)) return 1;
+  if ((int)eigs.size() != n) return 1;
+
+  // sort by descending |lambda|^2, then by descending imag (pairs adjacent,
+  // +imag first)
+  std::sort(eigs.begin(), eigs.end(), [](const cld &x, const cld &y) {
+    ld mx = std::norm(x), my = std::norm(y);
+    if (fabsl(mx - my) > 1e-12L * (mx + my)) return mx > my;
+    return x.imag() > y.imag();
+  });
+  // canonicalize conjugate pairs exactly
+  for (int i = 0; i + 1 < n; i += 2) {
+    if (fabsl(eigs[i].imag()) > 1e-18L) {
+      cld avg = (eigs[i] + std::conj(eigs[i + 1])) / cld(2);
+      eigs[i] = avg;
+      eigs[i + 1] = std::conj(avg);
+    }
+  }
+
+  // eigenvectors by inverse iteration on (A - (1+eps) lambda I)
+  std::vector<cld> V((size_t)n * n);
+  for (int col = 0; col < n; ++col) {
+    // conjugate partner: copy and conjugate
+    if (col % 2 == 1 && fabsl(eigs[col].imag()) > 1e-18L) {
+      for (int i = 0; i < n; ++i)
+        V[(size_t)i * n + col] = std::conj(V[(size_t)i * n + (col - 1)]);
+      continue;
+    }
+    cld lam = eigs[col] * cld(1.0L + 1e-22L) + cld(0.0L, 1e-25L);
+    std::vector<cld> M((size_t)n * n);
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j)
+        M[(size_t)i * n + j] = cld(A[(size_t)i * n + j]) - (i == j ? lam : cld(0));
+    std::vector<cld> v(n, cld(1));
+    for (int it = 0; it < 3; ++it) {
+      if (csolve(M, v, n)) return 1;
+      ld nrm = 0.0L;
+      for (int i = 0; i < n; ++i) nrm += std::norm(v[i]);
+      nrm = sqrtl(nrm);
+      if (nrm == 0.0L) return 1;
+      for (int i = 0; i < n; ++i) v[i] /= nrm;
+    }
+    // deterministic phase: make the largest-magnitude entry real-positive
+    int imax = 0;
+    for (int i = 1; i < n; ++i)
+      if (std::abs(v[i]) > std::abs(v[imax])) imax = i;
+    cld phase = v[imax] / std::abs(v[imax]);
+    for (int i = 0; i < n; ++i) v[i] /= phase;
+    for (int i = 0; i < n; ++i) V[(size_t)i * n + col] = v[i];
+  }
+
+  std::vector<cld> Vinv(V);
+  if (cinvert(Vinv, n)) return 1;
+
+  for (int i = 0; i < n; ++i) {
+    D_re[i] = (double)eigs[i].real();
+    D_im[i] = (double)eigs[i].imag();
+    for (int j = 0; j < n; ++j) {
+      T_re[i * n + j] = (double)V[(size_t)i * n + j].real();
+      T_im[i * n + j] = (double)V[(size_t)i * n + j].imag();
+      T_inv_re[i * n + j] = (double)Vinv[(size_t)i * n + j].real();
+      T_inv_im[i * n + j] = (double)Vinv[(size_t)i * n + j].imag();
     }
   }
   return 0;

@@ -66,3 +66,20 @@ def test_radau_tables_match_numpy(s):
         t["T"] @ np.diag(t["D"]) @ t["T_inv"], t["L"], atol=1e-9
     )
     np.testing.assert_allclose(t["L"], np.tril(t["L"]), atol=1e-12)
+
+
+@pytest.mark.parametrize("s", [2, 3, 4, 5, 7, 9, 10])
+def test_native_complex_tables(s):
+    A, b, c = T.radau_iia(s)
+    A_inv = np.linalg.inv(A)
+    ct = nc.complex_tables(A_inv)
+    V = ct["T_re"] + 1j * ct["T_im"]
+    Vi = ct["T_inv_re"] + 1j * ct["T_inv_im"]
+    w = ct["D_re"] + 1j * ct["D_im"]
+    np.testing.assert_allclose(V @ np.diag(w) @ Vi, A_inv, atol=1e-8)
+    # pair conventions: adjacent conjugates, +imag first, |lambda|^2 sorted
+    for i in range(0, s - 1, 2):
+        assert abs(w[i].conj() - w[i + 1]) < 1e-8 or abs(w[i].imag) < 1e-10
+        assert w[i].imag >= -1e-12
+    mag = np.abs(w) ** 2
+    assert all(mag[i] >= mag[i + 1] - 1e-8 for i in range(s - 1))
