@@ -31,6 +31,16 @@ def run_config(
 
     say = print if verbose else (lambda *a, **k: None)
 
+    if params.precision == "f64" and jax.default_backend() == "tpu":
+        # f64 linear algebra does not lower on TPU; the reference configs
+        # (which predate this port) carry no Precision key, so downgrade
+        # loudly instead of failing at the first coarse-matrix factorize
+        print(
+            "WARNING: Precision f64 is not supported on TPU — running in "
+            "f32. Set Precision explicitly to silence this."
+        )
+        params.precision = "f32"
+
     problem = HeatProblem(params)
     sp = problem.space
 
