@@ -50,6 +50,25 @@ _BZ = 8  # slab thickness (3D). Small slabs keep the padded layout's
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _dot_f32x3(lhs, rhs, dn):
+    """f32-accurate matmul from 3 bf16 MXU passes (~1e-6 rel error).
+
+    Half the MXU cost of Precision.HIGHEST (6 passes); the dropped
+    lo x lo term is O(2^-16) relative — far below solver tolerances.
+    """
+    lhs_hi = lhs.astype(jnp.bfloat16)
+    lhs_lo = (lhs - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    rhs_hi = rhs.astype(jnp.bfloat16)
+    rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32
+        )
+
+    return d(lhs_hi, rhs_hi) + d(lhs_hi, rhs_lo) + d(lhs_lo, rhs_hi)
+
+
 def _ceil(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -132,12 +151,10 @@ def _make_kernel_3d(p: int, z_off: int = 0):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         CD = jnp.concatenate([C, D], axis=-1)
-        out_ref[0] = jax.lax.dot_general(
+        out_ref[0] = _dot_f32x3(
             CD,
             xmat_ref[:],
             (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
 
     return kernel
@@ -182,19 +199,15 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0):
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
         dn = (((2,), (0,)), ((), ()))
-        outm_ref[0] = jax.lax.dot_general(
+        outm_ref[0] = _dot_f32x3(
             Cm,
             xmat_ref[:nx_p],
             dn,
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
-        outk_ref[0] = jax.lax.dot_general(
+        outk_ref[0] = _dot_f32x3(
             jnp.concatenate([Ck, Cm], axis=-1),
             xmat_ref[:],
             dn,
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
 
     return kernel
@@ -220,12 +233,10 @@ def _make_kernel_2d(p: int):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         CD = jnp.concatenate([C, D], axis=-1)
-        out_ref[0] = jax.lax.dot_general(
+        out_ref[0] = _dot_f32x3(
             CD,
             xmat_ref[:],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
 
     return kernel
@@ -250,19 +261,15 @@ def _make_kernel_ms_2d(p: int):
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
         dn = (((1,), (0,)), ((), ()))
-        outm_ref[0] = jax.lax.dot_general(
+        outm_ref[0] = _dot_f32x3(
             Cm,
             xmat_ref[:nx_p],
             dn,
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
-        outk_ref[0] = jax.lax.dot_general(
+        outk_ref[0] = _dot_f32x3(
             jnp.concatenate([Ck, Cm], axis=-1),
             xmat_ref[:],
             dn,
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
         )
 
     return kernel
