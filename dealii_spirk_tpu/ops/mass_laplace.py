@@ -155,6 +155,10 @@ def apply_shifted(ops: LevelOps, a, b, u, dim: int, mode: str = "stencil"):
     raise ValueError("dim must be 2 or 3")
 
 
+def _fb(mode: str) -> str:
+    return "stencil" if mode == "pallas" else mode
+
+
 def apply_mass_batched(ops: LevelOps, W, dim: int, mode: str = "stencil"):
     """Stage-batched M over W (q, *spatial)."""
     if mode == "pallas" and _pallas_ok(ops, W, dim):
@@ -196,10 +200,6 @@ def apply_shifted_batched(
     return jax.vmap(
         lambda ai, wi: apply_shifted(ops, ai, b, wi, dim, _fb(mode))
     )(a_vec, W)
-
-
-def _fb(mode: str) -> str:
-    return "stencil" if mode == "pallas" else mode
 
 
 def apply_complex(

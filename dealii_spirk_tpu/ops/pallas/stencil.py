@@ -55,18 +55,28 @@ def _dot_f32x3(lhs, rhs, dn):
 
     Half the MXU cost of Precision.HIGHEST (6 passes); the dropped
     lo x lo term is O(2^-16) relative — far below solver tolerances.
+    Contraction is always over the last lhs / first rhs dimension here;
+    operands are flattened to the canonical 2D matmul Mosaic expects of
+    bf16 inputs.
     """
-    lhs_hi = lhs.astype(jnp.bfloat16)
-    lhs_lo = (lhs - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    del dn  # all call sites contract (last lhs dim) x (first rhs dim)
+    lead = lhs.shape[:-1]
+    lhs2 = lhs.reshape(-1, lhs.shape[-1])
+    lhs_hi = lhs2.astype(jnp.bfloat16)
+    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     rhs_hi = rhs.astype(jnp.bfloat16)
     rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(a, b):
         return jax.lax.dot_general(
-            a, b, dn, preferred_element_type=jnp.float32
+            a,
+            b,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    return d(lhs_hi, rhs_hi) + d(lhs_hi, rhs_lo) + d(lhs_lo, rhs_hi)
+    out = d(lhs_hi, rhs_hi) + d(lhs_hi, rhs_lo) + d(lhs_lo, rhs_hi)
+    return out.reshape(lead + (rhs.shape[-1],))
 
 
 def _ceil(x: int, m: int) -> int:

@@ -38,12 +38,10 @@ import numpy as np
 
 from ..tables import irk_tables
 from ..ops.mass_laplace import (
-    apply_mass_batched,
     apply_mass_stiffness_batched,
     apply_shifted,
     apply_shifted_batched,
     apply_stiffness,
-    apply_stiffness_batched,
 )
 from ..solvers.gmg import gmg_reinit, vcycle
 from ..solvers.krylov import gmres, pcg
@@ -92,8 +90,6 @@ class IRK(SchemeBase):
         else:
             mixer = stage_mix
 
-        mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
-        stiff_b = lambda W: apply_stiffness_batched(fine, W, dim, mode)
         shifted_b = lambda di, Wi, tau: apply_shifted_batched(
             fine, di, tau, Wi, dim, mode
         )
