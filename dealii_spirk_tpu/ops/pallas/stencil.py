@@ -50,35 +50,6 @@ _BZ = 8  # slab thickness (3D). Small slabs keep the padded layout's
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _dot_f32x3(lhs, rhs, dn):
-    """f32-accurate matmul from 3 bf16 MXU passes (~1e-6 rel error).
-
-    Half the MXU cost of Precision.HIGHEST (6 passes); the dropped
-    lo x lo term is O(2^-16) relative — far below solver tolerances.
-    Contraction is always over the last lhs / first rhs dimension here;
-    operands are flattened to the canonical 2D matmul Mosaic expects of
-    bf16 inputs.
-    """
-    del dn  # all call sites contract (last lhs dim) x (first rhs dim)
-    lead = lhs.shape[:-1]
-    lhs2 = lhs.reshape(-1, lhs.shape[-1])
-    lhs_hi = lhs2.astype(jnp.bfloat16)
-    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    rhs_hi = rhs.astype(jnp.bfloat16)
-    rhs_lo = (rhs - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def d(a, b):
-        return jax.lax.dot_general(
-            a,
-            b,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out = d(lhs_hi, rhs_hi) + d(lhs_hi, rhs_lo) + d(lhs_lo, rhs_hi)
-    return out.reshape(lead + (rhs.shape[-1],))
-
-
 def _ceil(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -161,10 +132,12 @@ def _make_kernel_3d(p: int, z_off: int = 0):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         CD = jnp.concatenate([C, D], axis=-1)
-        out_ref[0] = _dot_f32x3(
+        out_ref[0] = jax.lax.dot_general(
             CD,
             xmat_ref[:],
             (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
 
     return kernel
@@ -209,15 +182,19 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0):
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
         dn = (((2,), (0,)), ((), ()))
-        outm_ref[0] = _dot_f32x3(
+        outm_ref[0] = jax.lax.dot_general(
             Cm,
             xmat_ref[:nx_p],
             dn,
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
-        outk_ref[0] = _dot_f32x3(
+        outk_ref[0] = jax.lax.dot_general(
             jnp.concatenate([Ck, Cm], axis=-1),
             xmat_ref[:],
             dn,
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
 
     return kernel
@@ -243,10 +220,12 @@ def _make_kernel_2d(p: int):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         CD = jnp.concatenate([C, D], axis=-1)
-        out_ref[0] = _dot_f32x3(
+        out_ref[0] = jax.lax.dot_general(
             CD,
             xmat_ref[:],
             (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
 
     return kernel
@@ -271,15 +250,19 @@ def _make_kernel_ms_2d(p: int):
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
         dn = (((1,), (0,)), ((), ()))
-        outm_ref[0] = _dot_f32x3(
+        outm_ref[0] = jax.lax.dot_general(
             Cm,
             xmat_ref[:nx_p],
             dn,
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
-        outk_ref[0] = _dot_f32x3(
+        outk_ref[0] = jax.lax.dot_general(
             jnp.concatenate([Ck, Cm], axis=-1),
             xmat_ref[:],
             dn,
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
 
     return kernel
