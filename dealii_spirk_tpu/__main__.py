@@ -25,6 +25,13 @@ def main(argv=None) -> int:
         help="capture an XLA/Xprof trace of the run into DIR (the "
         "TPU-native analog of the reference's phase timers, SURVEY.md §5)",
     )
+    parser.add_argument(
+        "--phase-timers",
+        action="store_true",
+        help="fill the t_vmult / t_prec_* table columns by replaying the "
+        "solver pieces (extra compiles; the reference's in-loop phase "
+        "timers, main.cc:998-1173)",
+    )
     parser.add_argument("configs", nargs="+", help="JSON parameter files")
     args = parser.parse_args(argv)
 
@@ -42,7 +49,7 @@ def main(argv=None) -> int:
     with profile_cm:
         for path in args.configs:
             params = Parameters.from_json(path, dim=args.dim)
-            run_config(params, table)
+            run_config(params, table, profile_phases=args.phase_timers)
             print()
             print(table.to_string())
     return 0

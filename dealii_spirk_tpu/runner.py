@@ -24,6 +24,7 @@ def run_config(
     mesh=None,
     verbose: bool = True,
     output_dir: str = ".",
+    profile_phases: bool = False,
 ) -> dict:
     """Run one configuration; returns a summary dict and fills ``table``."""
     if table is None:
@@ -131,6 +132,8 @@ def run_config(
     table.add_value("error_Linf", error[1])
     table.set_scientific("error_Linf", True)
 
+    if profile_phases:
+        scheme.profile_phases(dt, max(timestep_number - 1, 1))
     scheme.get_statistics(table, max(timestep_number - 1, 1))
     table.commit_row()
 

@@ -85,6 +85,49 @@ class SchemeBase:
     def solve_step(self, u, timestep_number: int, t: float, tau: float):
         raise NotImplementedError
 
+    def profile_phases(self, tau: float, n_steps: int) -> None:
+        """Fill the t_vmult / t_prec_* timers by replaying the solver
+        pieces and scaling by the recorded application counts (the
+        reference measures these inside its loops, main.cc:998-1173; here
+        they live in one compiled program).  No-op unless the scheme
+        exposes replay pieces."""
+        import time as _time
+
+        import jax
+
+        pieces = getattr(self, "vmult_piece", None)
+        if pieces is None:
+            return
+        prec = self.prec_state(tau)
+        q = self.q
+        shape = (q,) + self.problem.space.shape
+        import jax.numpy as jnp
+
+        W = jnp.ones(shape, dtype=self.dtype)
+        tau_ = jnp.asarray(tau, dtype=self.dtype)
+
+        def timed(fn, *args, reps=5):
+            f = jax.jit(fn)
+            out = f(*args)
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                out = f(*args)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / reps
+
+        t_vmult = timed(lambda w: self.vmult_piece(w, tau_), W)
+        t_bc = timed(self.prec_bc_piece, W)
+        t_ps = timed(lambda w: self.prec_solver_piece(w, prec, tau_), W)
+
+        steps = max(n_steps, 1)
+        # per solve: ~n_outer/steps system vmults and preconditioner
+        # applications (+1 initial residual, +1 restart-boundary recompute)
+        per_solve = self.n_outer / steps + 2.0
+        self.timers.seconds["system_vmult"] = t_vmult * per_solve * steps
+        self.timers.seconds["preconditioner_bc"] = t_bc * per_solve * steps
+        self.timers.seconds["preconditioner_solver"] = t_ps * per_solve * steps
+
 
 def stage_times_factor(c_vec, t, tau, dim):
     """Per-stage forcing time factors g(t + (c_i - 1) tau) (reference

@@ -182,6 +182,25 @@ class IRK(SchemeBase):
         def update_fn(u, W, tau):
             return u + tau * jnp.einsum("i,i...->...", b_vec, W)
 
+        # pieces exposed for replay-based phase profiling: the reference
+        # times t_vmult / t_prec_bc / t_prec_solver inside its solver
+        # loops (main.cc:998-1173); here the loops live in one compiled
+        # program, so the run driver re-times the pieces afterwards and
+        # scales by the recorded application counts.
+        def vmult_piece(W, tau):
+            MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
+            return mixer(A_inv, MW) + tau * KW
+
+        def prec_bc_piece(W):
+            return mixer(T, mixer(T_inv, W))
+
+        def prec_solver_piece(W, prec, tau):
+            return vcycle(gmg, prec, d_vec, tau, W, dim, mode, batch=True)
+
+        self.vmult_piece = vmult_piece
+        self.prec_bc_piece = prec_bc_piece
+        self.prec_solver_piece = prec_solver_piece
+
         # raw functions (for composition into larger jitted programs)
         self.reinit_fn = reinit
         self.rhs_fn = rhs_fn

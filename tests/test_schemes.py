@@ -150,3 +150,17 @@ def test_complex_temporal_convergence_q3():
     )["u"]
     u_cpx = _run({**cov, "TimeStepSize": 0.1})["u"]
     np.testing.assert_allclose(u_cpx, u_irk, atol=1e-10)
+
+
+def test_phase_timer_replay():
+    """--phase-timers fills the t_vmult / t_prec_* columns (reference
+    main.cc:998-1173 in-loop timers, reproduced by replay)."""
+    from dealii_spirk_tpu.utils.table import ConvergenceTable
+
+    t = ConvergenceTable()
+    p = Parameters.from_dict({**BASE, "TimeIntegrationScheme": "irk"}, dim=2)
+    run_config(p, t, verbose=False, profile_phases=True)
+    row = t.rows[0]
+    assert row["t_vmult"] > 0
+    assert row["t_prec_bc"] > 0
+    assert row["t_prec_solver"] > 0
