@@ -605,3 +605,142 @@ def fused_stencil_apply_padded(
         w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused Chebyshev-smoother iteration (padded layout)
+# ---------------------------------------------------------------------------
+#
+# One Chebyshev iteration is
+#     r <- r - A d;  z = D^{-1} r;  d <- c1 d + c2 z;  x <- x + d
+# i.e. an operator apply plus three elementwise sweeps over stage-block
+# fields.  Fusing them into the apply kernel turns four HBM round trips
+# into one: per block this reads (d-slab, r, x, invd) and writes
+# (r', d', x').  Operates on the canonical padded layout; the p planes of
+# d'/x' adjacent to the data must be re-zeroed by the caller (same
+# discipline as fused_stencil_apply_padded).
+
+
+def _make_kernel_cheb_3d(p: int):
+    nb = 2 * p + 1
+
+    def kernel(
+        w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
+        r_out, d_out, x_out, scratch, sem,
+    ):
+        iq = pl.program_id(0)
+        iz = pl.program_id(1)
+        bz = r_out.shape[1]
+        ny_p = r_out.shape[2]
+        cp = pltpu.make_async_copy(
+            d_hbm.at[iq, pl.ds(iz * bz + (bz - p), bz + 2 * p)], scratch, sem
+        )
+        cp.start()
+        cp.wait()
+        a = w_ref[iq, 0]
+        b = w_ref[iq, 1]
+        c1 = w_ref[iq, 2]
+        c2 = w_ref[iq, 3]
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        C = None
+        D = None
+        for k in range(nb):
+            rE = _roll(E, p - k, 1)
+            rF = _roll(F, p - k, 1)
+            wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
+            ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
+            c_term = wm * rE + ws * rF
+            d_term = wm * rF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        CD = jnp.concatenate([C, D], axis=-1)
+        Ad = jax.lax.dot_general(
+            CD,
+            xmat_ref[:],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
+        )
+        r_new = r_ref[0] - Ad
+        z = invd_ref[0] * r_new
+        d_new = c1 * scratch[p : p + bz] + c2 * z
+        r_out[0] = r_new
+        d_out[0] = d_new
+        x_out[0] = x_ref[0] + d_new
+
+    return kernel
+
+
+def fused_cheb_iter_padded(
+    ops: LevelOps, a, b, c1, c2, d_pad, r_pad, x_pad, invd_pad, spatial,
+    dim: int, *, interpret: bool = False,
+):
+    """One fused Chebyshev iteration on padded stage blocks (3D).
+
+    Returns ``(r', d', x')`` in the same layout; the caller re-zeroes the
+    DMA-adjacent halo planes of d' (and of x' if x' feeds another apply).
+    """
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = d_pad.shape[0]
+    to_q = lambda s: jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
+    )
+    w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
+    nx_p = d_pad.shape[-1]
+    xmat = jnp.concatenate(
+        [
+            _dense_padded(ops.mass_band, nx_p).T,
+            _dense_padded(ops.stiff_band, nx_p).T,
+        ],
+        axis=0,
+    )
+    bz = _BZ if spatial[0] >= _BZ else 8
+    nzp = d_pad.shape[1] - 2 * bz
+    ny_p = d_pad.shape[2]
+    zb = _band_table(ops, nzp)
+    yb = _band_table(ops, ny_p)
+
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        shape = jax.ShapeDtypeStruct(d_pad.shape, jnp.float32)
+        blocked = pl.BlockSpec(
+            (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz + 1, 0, 0)
+        )
+        r_new, d_new, x_new = pl.pallas_call(
+            _make_kernel_cheb_3d(p),
+            grid=(q, nzp // bz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blocked,
+                blocked,
+                blocked,
+            ],
+            out_specs=(blocked, blocked, blocked),
+            out_shape=(shape, shape, shape),
+            scratch_shapes=[
+                pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(w, zb, yb, xmat, d_pad, r_pad, x_pad, invd_pad)
+    # keep the DMA-adjacent planes of the next iteration's operand zero
+    d_new = d_new.at[:, bz - p : bz].set(0.0)
+    d_new = d_new.at[:, bz + nzp : bz + nzp + p].set(0.0)
+    x_new = x_new.at[:, bz - p : bz].set(0.0)
+    x_new = x_new.at[:, bz + nzp : bz + nzp + p].set(0.0)
+    return r_new, d_new, x_new
