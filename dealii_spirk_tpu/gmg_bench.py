@@ -37,7 +37,10 @@ N_REPETITIONS = 10  # gmg.cc:213
 N_COMPONENTS = 8  # gmg.cc:350-382
 
 
-def _bench_mode(space, gmg, dim, n_components, dtype, mesh=None):
+def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
+    """One benchmark mode.  ``sharded`` distributes the component axis
+    over the available devices — the reference's "8 sub-communicators,
+    one component each" mode (gmg.cc:362-371)."""
     a, b = 1.0, 1.0  # gmg.cc solves the (M + K)-type system
     batch = n_components > 1
     if batch:
@@ -54,9 +57,28 @@ def _bench_mode(space, gmg, dim, n_components, dtype, mesh=None):
     shape = ((n_components,) if batch else ()) + space.shape
     rhs = jax.random.normal(key, shape, dtype=dtype)
 
+    constrain = lambda v: v
+    if sharded:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        import numpy as _np
+
+        devs = jax.devices()[:n_components]
+        mesh = Mesh(_np.array(devs), axis_names=("comp",))
+        sharding = NamedSharding(
+            mesh, P("comp", *(None,) * len(space.shape))
+        )
+        constrain = lambda v: jax.lax.with_sharding_constraint(v, sharding)
+
     if batch:
-        A = jax.vmap(lambda w: apply_shifted(fine, a, b, w, dim))
-        M = lambda r: vcycle(gmg, prec, shifts, b, r, dim, batch=True)
+        A = lambda W: constrain(
+            jax.vmap(lambda w: apply_shifted(fine, a, b, w, dim))(
+                constrain(W)
+            )
+        )
+        M = lambda r: constrain(
+            vcycle(gmg, prec, shifts, b, constrain(r), dim, batch=True)
+        )
     else:
         A = lambda w: apply_shifted(fine, a, b, w, dim)
         M = lambda r: vcycle(gmg, prec, a, b, r, dim)
@@ -93,8 +115,15 @@ def main(argv=None) -> int:
         space = make_space(args.dim, args.degree, ref)
         gmg = build_gmg_data(space, dtype=dtype, with_dense=False)
         row = {"refinement": ref, "n_dofs": space.n_dofs}
-        for label, nc in (("scalar", 1), ("batched8", N_COMPONENTS)):
-            elapsed, n_it = _bench_mode(space, gmg, args.dim, nc, dtype)
+        modes = [("scalar", 1, False), ("batched8", N_COMPONENTS, False)]
+        if len(jax.devices()) >= N_COMPONENTS:
+            # the reference's "8 sub-communicators x 1 component" mode
+            # (gmg.cc:362-371): component axis sharded one-per-device
+            modes.append(("subgroups8", N_COMPONENTS, True))
+        for label, nc, sharded in modes:
+            elapsed, n_it = _bench_mode(
+                space, gmg, args.dim, nc, dtype, sharded=sharded
+            )
             row[f"t_{label}"] = elapsed
             row[f"it_{label}"] = n_it
             row[f"t_per_it_{label}"] = elapsed / max(n_it, 1)
