@@ -77,6 +77,10 @@ def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
     # 127^3 on v5e) but loses slightly for single fields — route only
     # batched applies through it
     p = (ops.mass_band.shape[0] - 1) // 2
+    if dim == 2 and u.shape[-1] * u.shape[-2] * 4 > 4 * 2**20:
+        # the 2D kernel holds whole per-stage planes in VMEM; beyond ~1M
+        # f32 entries the working set would overflow the 16MB budget
+        return False
     return (
         1 <= p <= 4
         and dim in (2, 3)
