@@ -92,3 +92,28 @@ def test_spirk_3d():
         dim=3,
     )
     assert out["error_L2"] < 0.1
+
+
+def test_spirk_q8_full_stage_mesh():
+    """q=8 on an (8, 1) mesh — one stage per device, the reference's
+    canonical stage-parallel layout (ring mixing active)."""
+    out = _run(
+        {
+            "TimeIntegrationScheme": "spirk",
+            "IRKStages": 8,
+            "NRefinements": 3,
+            "TimeStepSize": 0.1,
+            "EndTime": 0.2,
+        }
+    )
+    seq = _run(
+        {
+            "TimeIntegrationScheme": "irk_batched",
+            "IRKStages": 8,
+            "NRefinements": 3,
+            "TimeStepSize": 0.1,
+            "EndTime": 0.2,
+        }
+    )
+    np.testing.assert_allclose(out["error_L2"], seq["error_L2"], rtol=1e-9)
+    assert out["n_outer"] == seq["n_outer"]
