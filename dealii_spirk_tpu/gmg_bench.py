@@ -42,6 +42,9 @@ def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
     over the available devices — the reference's "8 sub-communicators,
     one component each" mode (gmg.cc:362-371)."""
     a, b = 1.0, 1.0  # gmg.cc solves the (M + K)-type system
+    # gmg.cc uses ReductionControl(1000, 1e-20, 1e-12); 1e-12 is below f32
+    # resolution, so scale the reduction to the dtype
+    reltol = 1e-12 if dtype == jnp.float64 else 1e-5
     batch = n_components > 1
     if batch:
         shifts = jnp.ones((n_components,), dtype=dtype)
@@ -84,7 +87,7 @@ def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
         M = lambda r: vcycle(gmg, prec, a, b, r, dim)
 
     solve = jax.jit(
-        lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20, reltol=1e-12,
+        lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20, reltol=reltol,
                       batch=batch)
     )
     res = solve(rhs)  # warmup (gmg.cc:226-239)
