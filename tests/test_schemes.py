@@ -164,3 +164,23 @@ def test_phase_timer_replay():
     assert row["t_vmult"] > 0
     assert row["t_prec_bc"] > 0
     assert row["t_prec_solver"] > 0
+
+
+def test_spatial_convergence_p2():
+    """Q2 elements: O(h^3) L2 convergence (temporal error kept below the
+    spatial floor with the 5th-order q=3 integrator and small dt)."""
+    e = [
+        _run(
+            {
+                "TimeIntegrationScheme": "irk_batched",
+                "FEDegree": 2,
+                "NRefinements": r,
+                "TimeStepSize": 0.05,
+                "EndTime": 0.1,
+                "OuterTolerance": 1e-10,
+            }
+        )["error_L2"]
+        for r in (2, 3, 4)
+    ]
+    assert e[0] / e[1] > 5.0, e
+    assert e[1] / e[2] > 5.0, e
