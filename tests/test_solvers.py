@@ -159,3 +159,28 @@ def test_gmg_batched_matches_scalar():
         prec_s = gmg_reinit(gmg, float(shifts[i]), tau, dim)
         out_s = vcycle(gmg, prec_s, float(shifts[i]), tau, r[i], dim)
         np.testing.assert_allclose(out_b[i], out_s, atol=1e-10)
+
+
+def test_zero_rhs_robustness():
+    """Zero right-hand sides must return zero in zero iterations, not NaN
+    (guards the division-safety paths in the Krylov loops)."""
+    n = 16
+    A = jnp.eye(n) * 2.0
+    z = jnp.zeros(n)
+    for solver in (pcg, gmres):
+        res = solver(lambda x: A @ x, z, maxiter=10, reltol=1e-8)
+        assert int(res.n_iterations) == 0
+        np.testing.assert_allclose(res.x, 0.0)
+        assert bool(jnp.isfinite(res.x).all())
+
+
+def test_batched_partial_zero_lane():
+    """One lane with a zero RHS must not poison the others."""
+    n = 16
+    A0 = jnp.eye(n) * 3.0
+    b = jnp.stack([jnp.zeros(n), jnp.ones(n)])
+    res = pcg(lambda v: jnp.einsum("ij,qj->qi", A0, v), b,
+              maxiter=50, reltol=1e-10, batch=True)
+    assert bool(jnp.isfinite(res.x).all())
+    np.testing.assert_allclose(res.x[0], 0.0)
+    np.testing.assert_allclose(res.x[1], 1.0 / 3.0, rtol=1e-8)
