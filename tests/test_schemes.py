@@ -73,7 +73,7 @@ def test_irk_temporal_convergence_q2():
         "EndTime": 0.4,
         "OuterTolerance": 1e-12,
     }
-    u_ref = _run({**over, "TimeStepSize": 0.0125})["u"]
+    u_ref = _run({**over, "TimeStepSize": 0.025})["u"]
     e1 = np.linalg.norm(_run({**over, "TimeStepSize": 0.2})["u"] - u_ref)
     e2 = np.linalg.norm(_run({**over, "TimeStepSize": 0.1})["u"] - u_ref)
     assert e1 / e2 > 5.0, (e1, e2)
@@ -140,7 +140,7 @@ def test_complex_temporal_convergence_q3():
         "OuterTolerance": 1e-12,
     }
     cov = {**over, "TimeIntegrationScheme": "complex_irk"}
-    u_ref = _run({**cov, "TimeStepSize": 0.0125})["u"]
+    u_ref = _run({**cov, "TimeStepSize": 0.025})["u"]
     e1 = np.linalg.norm(_run({**cov, "TimeStepSize": 0.1})["u"] - u_ref)
     e2 = np.linalg.norm(_run({**cov, "TimeStepSize": 0.05})["u"] - u_ref)
     assert e1 / e2 > 12.0, (e1, e2)
