@@ -189,6 +189,28 @@ class ComplexIRK(SchemeBase):
         def update_fn(u, W, tau):
             return u + tau * jnp.einsum("i,i...->...", b_vec, W)
 
+        # replay pieces for phase profiling (cf. schemes/base.py)
+        def vmult_piece(Z, tau):
+            # Z: (n2, 2, *spatial) pair blocks
+            return complex_b(d_re2, d_im2, Z, tau)
+
+        def prec_bc_piece(W):
+            Z = jnp.stack(
+                [stage_mix(T_inv_re2, W), stage_mix(T_inv_im2, W)], axis=1
+            )
+            return jnp.einsum("ji,i...->j...", T_re_s, Z[:, 0]) - jnp.einsum(
+                "ji,i...->j...", T_im_s, Z[:, 1]
+            )
+
+        def prec_solver_piece(W, prec, tau):
+            # W here: (n2, *spatial) pair-shift solves
+            return inner_solve(W, prec, tau)[0]
+
+        self.vmult_piece = None  # pair-block shapes differ; see profile_phases
+        self._cpx_vmult = vmult_piece
+        self._cpx_bc = prec_bc_piece
+        self._cpx_solver = prec_solver_piece
+
         # raw functions (for composition into larger jitted programs)
         self.reinit_fn = reinit
         self.rhs_fn = rhs_fn
@@ -213,6 +235,44 @@ class ComplexIRK(SchemeBase):
 
     def _reinit(self, tau):
         return self._reinit_jit(jnp.asarray(tau, dtype=self.dtype))
+
+    def profile_phases(self, tau, n_steps):
+        """Replay-based phase timers for the complex family (pair-block
+        shapes; see schemes/base.py for the convention)."""
+        import time as _time
+
+        import jax
+
+        prec = self.prec_state(tau)
+        n2 = self.n_pairs
+        sp = self.problem.space.shape
+        Z = jnp.ones((n2, 2) + sp, dtype=self.dtype)
+        Wq = jnp.ones((self.q,) + sp, dtype=self.dtype)
+        Wp = jnp.ones((n2,) + sp, dtype=self.dtype)
+        tau_ = jnp.asarray(tau, dtype=self.dtype)
+
+        def timed(fn, *args, reps=5):
+            f = jax.jit(fn)
+            out = f(*args)
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                out = f(*args)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / reps
+
+        t_vmult = timed(lambda z: self._cpx_vmult(z, tau_), Z)
+        t_bc = timed(self._cpx_bc, Wq)
+        t_ps = timed(lambda w: self._cpx_solver(w, prec, tau_), Wp)
+
+        steps = max(n_steps, 1)
+        per_solve = self.n_outer / steps / max(n2, 1) + 2.0
+        self.timers.seconds["system_vmult"] = t_vmult * per_solve * steps
+        self.timers.seconds["preconditioner_bc"] = t_bc * steps
+        # PRESB performs two shifted solves per application
+        self.timers.seconds["preconditioner_solver"] = (
+            t_ps * 2.0 * per_solve * steps
+        )
 
     def solve_step(self, u, timestep_number, t, tau):
         prec = self.prec_state(tau)
