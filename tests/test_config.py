@@ -100,3 +100,29 @@ def test_sweep_generators(tmp_path, monkeypatch):
     assert len(files) == 8
     for f in files:
         Parameters.from_dict(json.loads(f.read_text()))
+
+
+def test_generated_sweep_config_runs(tmp_path):
+    """A file produced by the sweep generator must run end-to-end (the
+    reference's scripts feed irk-3D the same way)."""
+    import subprocess
+    import sys
+    import os
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "sweeps.py"
+    )
+    subprocess.run(
+        [sys.executable, script, "q", "--outdir", str(tmp_path)],
+        check=True,
+        capture_output=True,
+    )
+    from dealii_spirk_tpu.runner import run_config
+
+    # input_0000: refinement 3, q=2, irk — small enough for CPU f64
+    p = Parameters.from_json(str(tmp_path / "input_0000.json"), dim=3)
+    assert p.n_refinements == 3 and p.irk_stages == 2
+    p.end_time = 0.2  # trim the sweep's T=1.0 for test runtime
+    out = run_config(p, verbose=False)
+    assert out["error_L2"] < 0.2
+    assert out["n_outer"] > 0
