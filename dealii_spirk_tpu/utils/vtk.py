@@ -31,7 +31,12 @@ def write_vtr(
     ext = f"0 {dims[0] - 1} 0 {dims[1] - 1} 0 {dims[2] - 1}"
 
     def arr(a):
-        return " ".join(f"{float(v):.9g}" for v in np.asarray(a).ravel())
+        # VTK inline-binary: base64(uint32 byte count || raw little-endian)
+        import base64
+        import struct
+
+        raw = np.ascontiguousarray(a, dtype="<f8").tobytes()
+        return base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
 
     # VTK point order: x fastest
     flat = values.ravel(order="F")
@@ -46,13 +51,13 @@ def write_vtr(
         f.write(f'      <PointData Scalars="{name}">\n')
         f.write(
             f'        <DataArray type="Float64" Name="{name}" '
-            f'format="ascii">{arr(flat)}</DataArray>\n'
+            f'format="binary">{arr(flat)}</DataArray>\n'
         )
         f.write("      </PointData>\n")
         f.write("      <Coordinates>\n")
         for c in coords:
             f.write(
-                '        <DataArray type="Float64" format="ascii">'
+                '        <DataArray type="Float64" format="binary">'
                 f"{arr(c)}</DataArray>\n"
             )
         f.write("      </Coordinates>\n")

@@ -47,6 +47,15 @@ def test_write_vtr(tmp_path):
     text = open(path).read()
     assert "RectilinearGrid" in text
     assert "U" in text
+    # binary payload round-trips
+    import base64
+    import struct
+
+    payload = text.split('format="binary">')[1].split("<")[0]
+    raw = base64.b64decode(payload)
+    (nbytes,) = struct.unpack("<I", raw[:4])
+    data = np.frombuffer(raw[4 : 4 + nbytes], dtype="<f8")
+    np.testing.assert_allclose(data, vals.ravel(order="F"))
 
 
 def test_paraview_series(tmp_path):
