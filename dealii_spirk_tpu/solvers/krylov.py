@@ -77,7 +77,11 @@ def pcg(
     z0 = M(r0)
     rz0 = _dot(r0, z0, batch)
     rnorm0 = jnp.sqrt(_dot(r0, r0, batch))
-    tol = jnp.maximum(abstol, reltol * rnorm0)
+    # floor the target at the dtype's achievable reduction (prevents
+    # maxiter spins when e.g. a reference 1e-8/1e-12 tolerance is run in
+    # f32); 32 eps relative is comfortably at the Krylov noise floor
+    eps_floor = 32.0 * jnp.finfo(b.dtype).eps
+    tol = jnp.maximum(abstol, jnp.maximum(reltol, eps_floor) * rnorm0)
 
     def cond(state):
         _x, _r, _p, _rz, rnorm, k, _ = state
@@ -226,7 +230,9 @@ def gmres(
     R = restart
 
     beta0 = jnp.sqrt(_dot(r0, r0, batch))
-    tol = jnp.maximum(abstol, reltol * beta0)
+    # dtype-aware floor: see pcg
+    eps_floor = 32.0 * jnp.finfo(b.dtype).eps
+    tol = jnp.maximum(abstol, jnp.maximum(reltol, eps_floor) * beta0)
 
     stateful = M is not None and M_carry is not None
 
