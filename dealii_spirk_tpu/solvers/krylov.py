@@ -199,8 +199,24 @@ def gmres(
     reltol: float = 0.0,
     restart: int = 28,
     batch: bool = False,
+    orthog: str | None = None,
 ) -> KrylovResult:
-    """Left-preconditioned GMRES(restart) with MGS + Givens rotations.
+    """Left-preconditioned GMRES(restart) with Givens rotations.
+
+    ``orthog`` selects the orthogonalization scheme (default from
+    ``SPIRK_GMRES_ORTHOG``, else ``"mgs"``):
+
+    * ``"mgs"`` (default): modified Gram-Schmidt — a dynamic-bound loop
+      over the k+1 live basis columns.  Fastest on TPU: it touches only
+      the live columns, while CGS pays two passes over the whole
+      ``restart+1``-column basis buffer every iteration (measured +42 ms
+      per Krylov iteration on 950 MB bases at the production sizes).
+    * ``"cgs"``: classical Gram-Schmidt as two multiply+reduce passes
+      over the basis buffer — deal.II's own default orthogonalization,
+      kept for semantic parity and for small/many-iteration systems
+      where a fixed per-iteration cost beats a growing one.  Identical
+      iteration counts to MGS in every covered configuration (both
+      monitored in the test suite).
 
     When ``M_carry`` is given, ``M`` must have the stateful signature
     ``M(v, carry) -> (z, carry)``; the carry is threaded through every
@@ -208,6 +224,10 @@ def gmres(
     accumulate inner-solve iteration counts, mirroring the reference's
     ``get_n_iterations_and_clear`` at ``main.cc:1176-1182``).
     """
+    if orthog is None:
+        import os
+
+        orthog = os.environ.get("SPIRK_GMRES_ORTHOG", "mgs")
     if M is None:
         Ms = lambda v, c: (v, c)
         carry0 = jnp.int32(0)
@@ -271,18 +291,33 @@ def gmres(
             active = (res > tol) & (it < maxiter)
             w, carry_new = Ms(A(V[k]), carry)
             carry = _mask_carry(carry_new, carry, active)
-            # modified Gram-Schmidt against all previous vectors (masked)
-            hcol = jnp.zeros(lane_shape + (R + 1,), dtype)
+            if orthog == "cgs":
+                # classical Gram-Schmidt: one reduction pass + one
+                # update pass over the whole basis buffer, as plain
+                # multiply+reduce fusions (a dot_general with a
+                # mid-position batch dim transposes the basis buffer on
+                # TPU).  Rows > k are still zero, so the unused columns
+                # contribute nothing; the mask keeps that explicit.
+                cmask = (jnp.arange(R + 1) <= k).astype(dtype)
+                red_axes = tuple(range(2 if batch else 1, V.ndim))
+                dots = jnp.sum(V * w[None], axis=red_axes)
+                dots = dots * (cmask[:, None] if batch else cmask)
+                dexp = dots.reshape(dots.shape + (1,) * (V.ndim - dots.ndim))
+                w = w - jnp.sum(dexp * V, axis=0)
+                hcol = dots.T if batch else dots
+            else:
+                # modified Gram-Schmidt against all previous vectors
+                hcol = jnp.zeros(lane_shape + (R + 1,), dtype)
 
-            def mgs(j, carry):
-                w, hcol = carry
-                hij = _dot(V[j], w, batch)
-                w = w - _expand(hij, w, batch) * V[j]
-                hcol = hcol.at[..., j].set(hij)
-                return w, hcol
+                def mgs(j, carry):
+                    w, hcol = carry
+                    hij = _dot(V[j], w, batch)
+                    w = w - _expand(hij, w, batch) * V[j]
+                    hcol = hcol.at[..., j].set(hij)
+                    return w, hcol
 
-            # dynamic trip count: only the k+1 live basis vectors
-            w, hcol = lax.fori_loop(0, k + 1, mgs, (w, hcol))
+                # dynamic trip count: only the k+1 live basis vectors
+                w, hcol = lax.fori_loop(0, k + 1, mgs, (w, hcol))
             hk1 = jnp.sqrt(_dot(w, w, batch))
             hcol = hcol.at[..., k + 1].set(hk1)
             safe_h = jnp.where(hk1 > 0, hk1, 1.0)

@@ -108,6 +108,34 @@ def test_gmres_batched_matches_sequential():
         assert int(res.n_iterations[i]) == int(single.n_iterations)
 
 
+def test_gmres_cgs_matches_mgs():
+    """CGS (TPU fast path, deal.II's own default) and MGS must agree in
+    iterates AND iteration counts — scalar, batched, and multi-dim fields."""
+    n = 40
+    rng = np.random.default_rng(8)
+    A = jnp.asarray(np.eye(n) * 4 + 0.5 * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    r1 = gmres(lambda x: A @ x, b, maxiter=200, reltol=1e-10, orthog="cgs")
+    r2 = gmres(lambda x: A @ x, b, maxiter=200, reltol=1e-10, orthog="mgs")
+    np.testing.assert_allclose(r1.x, r2.x, atol=1e-8)
+    assert int(r1.n_iterations) == int(r2.n_iterations)
+
+    # batched with a 2D per-lane field (exercises the reshape paths)
+    shifts = jnp.asarray([0.3, 2.0, 7.0])
+    bb = jnp.asarray(rng.standard_normal((3, 6, 8)))
+
+    def Ab(v):
+        w = jnp.einsum("ij,qjk->qik", A[:6, :6], v)
+        return w + shifts[:, None, None] * v
+
+    r1 = gmres(Ab, bb, maxiter=200, reltol=1e-10, batch=True, orthog="cgs")
+    r2 = gmres(Ab, bb, maxiter=200, reltol=1e-10, batch=True, orthog="mgs")
+    np.testing.assert_allclose(r1.x, r2.x, atol=1e-8)
+    assert np.array_equal(
+        np.asarray(r1.n_iterations), np.asarray(r2.n_iterations)
+    )
+
+
 def test_chebyshev_reduces_error():
     space = make_space(2, 1, 4)
     ops = level_ops(space.fine)
