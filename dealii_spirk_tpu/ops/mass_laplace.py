@@ -126,7 +126,15 @@ def apply_stiffness(ops: LevelOps, u, dim: int, mode: str = "stencil"):
     return out
 
 
-def apply_shifted(ops: LevelOps, a, b, u, dim: int, mode: str = "stencil"):
+def apply_shifted(
+    ops: LevelOps,
+    a,
+    b,
+    u,
+    dim: int,
+    mode: str = "stencil",
+    interpret: bool = False,
+):
     """(a M + b K) u with shared 1D intermediates (4 applies in 2D, 7 in 3D).
 
     ``a`` / ``b`` are scalars (possibly traced); in ``"pallas"`` mode ``u``
@@ -137,7 +145,7 @@ def apply_shifted(ops: LevelOps, a, b, u, dim: int, mode: str = "stencil"):
     if mode == "pallas" and _pallas_ok(ops, u, dim):
         from .pallas.stencil import fused_stencil_apply
 
-        return fused_stencil_apply(ops, a, b, u, dim)
+        return fused_stencil_apply(ops, a, b, u, dim, interpret=interpret)
     if mode == "pallas":
         mode = "stencil"
     axes = _spatial_axes(u.ndim, dim)
@@ -195,12 +203,18 @@ def apply_mass_stiffness_batched(
 
 
 def apply_shifted_batched(
-    ops: LevelOps, a_vec, b, W, dim: int, mode: str = "stencil"
+    ops: LevelOps,
+    a_vec,
+    b,
+    W,
+    dim: int,
+    mode: str = "stencil",
+    interpret: bool = False,
 ):
     """Per-stage (a_i M + b K) W_i — the reference's batched operator
     (``operator.h:701-881``).  ``a_vec``: (q,), ``W``: (q, *spatial)."""
     if mode == "pallas" and _pallas_ok(ops, W, dim):
-        return apply_shifted(ops, a_vec, b, W, dim, mode)
+        return apply_shifted(ops, a_vec, b, W, dim, mode, interpret=interpret)
     return jax.vmap(
         lambda ai, wi: apply_shifted(ops, ai, b, wi, dim, _fb(mode))
     )(a_vec, W)

@@ -79,6 +79,14 @@ import os as _os
 
 PADDED_VCYCLE = _os.environ.get("SPIRK_PADDED_VCYCLE", "0") == "1"
 
+# Fused Chebyshev smoothing on the standard-layout V-cycle: each smoother
+# call pads its fields once into the canonical padded layout, runs the
+# fused iteration kernel (ops/pallas/stencil.py: one HBM pass per
+# Chebyshev iteration instead of an apply + three elementwise sweeps),
+# and unpads on exit.  Unlike SPIRK_PADDED_VCYCLE this keeps residuals
+# and transfers on the compact standard layout.
+FUSED_SMOOTH = _os.environ.get("SPIRK_FUSED_SMOOTH", "1") == "1"
+
 
 def _coarse_dense(space: Space, dtype, l0: int) -> tuple[np.ndarray, np.ndarray]:
     lev = space.levels[l0]
@@ -123,10 +131,22 @@ def build_gmg_data(
     )
 
 
-def _make_A(ops: LevelOps, a, b, dim: int, mode: str, batch: bool) -> Callable:
+def _make_A(
+    ops: LevelOps,
+    a,
+    b,
+    dim: int,
+    mode: str,
+    batch: bool,
+    interpret: bool = False,
+) -> Callable:
     if batch:
-        return lambda u: apply_shifted_batched(ops, a, b, u, dim, mode)
-    return lambda u: apply_shifted(ops, a, b, u, dim, mode)
+        return lambda u: apply_shifted_batched(
+            ops, a, b, u, dim, mode, interpret=interpret
+        )
+    return lambda u: apply_shifted(
+        ops, a, b, u, dim, mode, interpret=interpret
+    )
 
 
 def gmg_reinit(
@@ -194,7 +214,7 @@ def gmg_reinit(
         coarse_inv = jnp.linalg.inv(a * gmg.coarse_mass + b * gmg.coarse_stiff)
 
     inv_diags_padded = None
-    if mode == "pallas" and batch and PADDED_VCYCLE:
+    if mode == "pallas" and batch and (PADDED_VCYCLE or FUSED_SMOOTH):
         from ..ops.pallas.stencil import pad_field
 
         p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
@@ -243,16 +263,48 @@ def vcycle(
     as the inner-CG preconditioner or directly when InnerTolerance == 0,
     reference ``main.cc:1126-1148``).
     """
-    if batch and mode == "pallas" and prec.inv_diags_padded is not None:
+    if (
+        PADDED_VCYCLE
+        and batch
+        and mode == "pallas"
+        and prec.inv_diags_padded is not None
+    ):
         return _vcycle_padded(
             gmg, prec, a, b, r, dim, degree=degree, interpret=interpret
         )
     n_levels = len(gmg.level_ops)
+    fused_smooth = (
+        batch
+        and mode == "pallas"
+        and dim == 3
+        and prec.inv_diags_padded is not None
+    )
+    p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
 
-    def solve(l, rl):
-        if l == 0:
-            return _coarse_solve(prec, rl, dim, batch)
+    def smooth(l, rl, x0=None, rl_pad=None):
         ops = gmg.level_ops[l]
+        if fused_smooth:
+            from ..ops.pallas import stencil as st
+
+            sp = (ops.m,) * dim
+            if rl_pad is None:
+                rl_pad = st.pad_field(rl, sp, p, dim)
+            x0_pad = None if x0 is None else st.pad_field(x0, sp, p, dim)
+            x_pad = _chebyshev_padded(
+                ops,
+                a,
+                b,
+                prec.inv_diags_padded[l],
+                prec.thetas[l],
+                prec.deltas[l],
+                rl_pad,
+                sp,
+                dim,
+                x0_pad=x0_pad,
+                degree=degree,
+                interpret=interpret,
+            )
+            return st.unpad_field(x_pad, sp, p, dim), rl_pad
         A = _make_A(ops, a, b, dim, mode, batch)
         x = chebyshev_apply(
             A,
@@ -260,24 +312,23 @@ def vcycle(
             prec.thetas[l],
             prec.deltas[l],
             rl,
+            x0=x0,
             degree=degree,
             batch=batch,
         )
+        return x, None
+
+    def solve(l, rl):
+        if l == 0:
+            return _coarse_solve(prec, rl, dim, batch)
+        ops = gmg.level_ops[l]
+        A = _make_A(ops, a, b, dim, mode, batch, interpret=interpret)
+        x, rl_pad = smooth(l, rl)
         res = rl - A(x)
         rc = restrict(gmg.prolongs[l - 1], res, dim)
         xc = solve(l - 1, rc)
         x = x + prolong(gmg.prolongs[l - 1], xc, dim)
-        x = chebyshev_apply(
-            A,
-            prec.inv_diags[l],
-            prec.thetas[l],
-            prec.deltas[l],
-            rl,
-            x0=x,
-            degree=degree,
-            batch=batch,
-        )
-        return x
+        return smooth(l, rl, x0=x, rl_pad=rl_pad)[0]
 
     return solve(n_levels - 1, r)
 

@@ -146,6 +146,55 @@ def test_padded_vcycle_matches_classic():
         assert rel < 1e-5, (dim, pdeg, rel)
 
 
+def test_fused_smooth_vcycle_matches_classic():
+    """The standard-layout V-cycle with fused Chebyshev smoothing
+    (SPIRK_FUSED_SMOOTH, the production default) must equal the classic
+    smoother path bit-for-bit in structure: same hierarchy, same
+    intervals, same iteration mathematics."""
+    import jax.numpy as jnp
+
+    from dealii_spirk_tpu.fem.grid import make_space
+    from dealii_spirk_tpu.ops.pallas.stencil import pad_field
+    from dealii_spirk_tpu.solvers.gmg import (
+        build_gmg_data,
+        gmg_reinit,
+        vcycle,
+    )
+
+    # >= 3-level hierarchies (see test_padded_vcycle_matches_classic)
+    for dim, pdeg, ref in [(3, 1, 5), (3, 2, 2)]:
+        space = make_space(dim, pdeg, ref)
+        gmg = build_gmg_data(space, dtype=jnp.float32, with_dense=False)
+        shifts = jnp.asarray([1.5, 4.0], jnp.float32)
+        prec = gmg_reinit(gmg, shifts, 0.1, dim, mode="stencil", batch=True)
+        prec_pad = prec._replace(
+            inv_diags_padded=tuple(
+                pad_field(invd, (ops.m,) * dim, pdeg, dim)
+                for invd, ops in zip(prec.inv_diags, gmg.level_ops)
+            )
+        )
+        rng = np.random.default_rng(3)
+        r = jnp.asarray(
+            rng.standard_normal((2,) + space.shape), jnp.float32
+        )
+        out_cls = vcycle(
+            gmg, prec, shifts, 0.1, r, dim, "stencil", batch=True
+        )
+        out_fus = vcycle(
+            gmg,
+            prec_pad,
+            shifts,
+            0.1,
+            r,
+            dim,
+            "pallas",
+            batch=True,
+            interpret=True,
+        )
+        rel = float(jnp.abs(out_fus - out_cls).max() / jnp.abs(out_cls).max())
+        assert rel < 1e-5, (dim, pdeg, rel)
+
+
 def test_padded_apply_matches():
     from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
     from dealii_spirk_tpu.ops.pallas.stencil import (
