@@ -91,22 +91,63 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
+def _slab_dma(u_hbm, scratch, sem, p: int, z_off: int, bz: int):
+    """Double-buffered z-slab DMA pipelined ACROSS grid steps.
+
+    ``scratch``/``sem`` carry a leading 2-slot axis; grid steps execute
+    sequentially on the core, so each step prefetches the next step's
+    slab (crossing the stage boundary too) while waiting only on its own.
+    Returns a Ref view of the current slab.
+    """
+    iq = pl.program_id(0)
+    iz = pl.program_id(1)
+    nq = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    g = iq * nsteps + iz
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def copy_for(iq_, iz_, slot_):
+        return pltpu.make_async_copy(
+            u_hbm.at[iq_, pl.ds(iz_ * bz + z_off, bz + 2 * p)],
+            scratch.at[slot_],
+            sem.at[slot_],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(iq, iz, slot).start()
+
+    niq = jnp.where(iz + 1 < nsteps, iq, iq + 1)
+    niz = jnp.where(iz + 1 < nsteps, iz + 1, 0)
+
+    @pl.when(g + 1 < nq * nsteps)
+    def _():
+        copy_for(niq, niz, nslot).start()
+
+    copy_for(iq, iz, slot).wait()
+    return scratch.at[slot]
+
+
+def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
+    return [
+        pltpu.VMEM((2, bz + 2 * p, ny_p, nx_p), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
 def _make_kernel_3d(p: int, z_off: int = 0):
     """``z_off``: element offset of the data region on the slab axis minus
     p (0 for the classic layout with a p-ghost, bz for the halo-block
     padded layout used inside the V-cycle)."""
     nb = 2 * p + 1
 
-    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch, sem):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
         ny_p = out_ref.shape[2]
-        cp = pltpu.make_async_copy(
-            u_hbm.at[iq, pl.ds(iz * bz + z_off, bz + 2 * p)], scratch, sem
-        )
-        cp.start()
-        cp.wait()
+        scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         zb = zb_ref[pl.ds(iz * bz, bz)]  # (bz, lanes)
@@ -149,18 +190,14 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0):
     nb = 2 * p + 1
 
     def kernel(
-        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch, sem
+        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2, sem
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = outm_ref.shape[1]
         ny_p = outm_ref.shape[2]
         nx_p = outm_ref.shape[3]
-        cp = pltpu.make_async_copy(
-            u_hbm.at[iq, pl.ds(iz * bz + z_off, bz + 2 * p)], scratch, sem
-        )
-        cp.start()
-        cp.wait()
+        scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
         zb = zb_ref[pl.ds(iz * bz, bz)]
         Zm = None
         Zk = None
@@ -317,10 +354,7 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret):
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             ),
             out_shape=jax.ShapeDtypeStruct((q, nzp, ny_p, nx_p), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, u_pad)
         return out[:, :nz, :ny, :nx]
@@ -372,10 +406,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret):
             ],
             out_specs=(spec, spec),
             out_shape=(shape, shape),
-            scratch_shapes=[
-                pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(zb, yb, xmat, u_pad)
         sl = (slice(None), slice(None, nz), slice(None, ny), slice(None, nx))
@@ -544,10 +575,7 @@ def _fused_apply_padded(
                     lambda iq, iz: _i32(iq, iz + 1, 0, 0),
                 ),
                 out_shape=jax.ShapeDtypeStruct(u_pad.shape, jnp.float32),
-                scratch_shapes=[
-                    pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
-                    pltpu.SemaphoreType.DMA,
-                ],
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
             )(w, zb, yb, xmat, u_pad)
             # the kernel never writes the halo blocks; uninitialized
@@ -626,17 +654,13 @@ def _make_kernel_cheb_3d(p: int):
 
     def kernel(
         w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
-        r_out, d_out, x_out, scratch, sem,
+        r_out, d_out, x_out, scratch2, sem,
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = r_out.shape[1]
         ny_p = r_out.shape[2]
-        cp = pltpu.make_async_copy(
-            d_hbm.at[iq, pl.ds(iz * bz + (bz - p), bz + 2 * p)], scratch, sem
-        )
-        cp.start()
-        cp.wait()
+        scratch = _slab_dma(d_hbm, scratch2, sem, p, bz - p, bz)
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         c1 = w_ref[iq, 2]
@@ -732,10 +756,7 @@ def fused_cheb_iter_padded(
             ],
             out_specs=(blocked, blocked, blocked),
             out_shape=(shape, shape, shape),
-            scratch_shapes=[
-                pltpu.VMEM((bz + 2 * p, ny_p, nx_p), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, d_pad, r_pad, x_pad, invd_pad)
     # keep the DMA-adjacent planes of the next iteration's operand zero

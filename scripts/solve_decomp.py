@@ -50,7 +50,7 @@ def main():
     gmg = scheme.gmg
     ops = gmg.level_ops[-1]
     shifts = jnp.asarray(irk_tables(q).D, jnp.float32)
-    dim = problem.dim
+    dim = problem.space.dim
 
     t_ms = timeit(
         jax.jit(
@@ -73,15 +73,15 @@ def main():
         W,
     )
     tau_ = jnp.asarray(tau, jnp.float32)
-    t_solve = timeit(
-        jax.jit(lambda r: scheme.solve_fn(r, prec, tau_)[0]), W, reps=5
-    )
+    solve_jit = jax.jit(lambda r: scheme.solve_fn(r, prec, tau_))
+    n_outer = int(solve_jit(W)[1])
+    t_solve = timeit(lambda r: solve_jit(r)[0], W, reps=5)
 
     print(f"dual vmult (M,K):   {t_ms * 1e3:7.2f} ms")
     print(f"shifted apply:      {t_sh * 1e3:7.2f} ms")
     print(f"vcycle (batched):   {t_vc * 1e3:7.2f} ms")
-    print(f"full solve:         {t_solve * 1e3:7.2f} ms")
-    n_it = 4
+    print(f"full solve:         {t_solve * 1e3:7.2f} ms  ({n_outer} outer)")
+    n_it = n_outer
     print(
         f"-> {n_it} iters x (vmult {t_ms * 1e3:.2f} + vcycle {t_vc * 1e3:.2f})"
         f" = {n_it * (t_ms + t_vc) * 1e3:.2f} ms;"
