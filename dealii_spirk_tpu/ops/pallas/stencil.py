@@ -86,6 +86,28 @@ def _band_table(ops: LevelOps, n_rows: int):
     return jnp.asarray(tab)
 
 
+def _band_table_x(ops: LevelOps, n_cols: int):
+    """x-direction band table (>=8, n_cols): row k = mass-band diagonal k,
+    row nb+k = stiffness; columns are lane positions, zero beyond the m
+    physical columns.  Used by the lane-roll x-contraction (``x_roll``)."""
+    mb = np.asarray(ops.mass_band)
+    kb = np.asarray(ops.stiff_band)
+    nb = mb.shape[0]
+    m = mb.shape[1]
+    tab = np.zeros((max(_ceil(2 * nb, 8), 8), n_cols), np.float32)
+    tab[:nb, :m] = mb
+    tab[nb : 2 * nb, :m] = kb
+    return jnp.asarray(tab)
+
+
+def _x_roll_ok(p: int, dim: int) -> bool:
+    # Lane rolls beat the dense-padded MXU dot (6-pass f32 emulation
+    # wasting ~99% of its MACs on a (2p+1)-diagonal matrix) when the roll
+    # count is small and the lane extent is one vreg tile: measured 34%
+    # faster at p=1, nx_p=128 on v5e.  Higher degrees keep the dot.
+    return dim == 3 and p == 1
+
+
 def _roll(x, shift: int, axis: int):
     n = x.shape[axis]
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
@@ -136,10 +158,12 @@ def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
     ]
 
 
-def _make_kernel_3d(p: int, z_off: int = 0):
+def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False):
     """``z_off``: element offset of the data region on the slab axis minus
     p (0 for the classic layout with a p-ghost, bz for the halo-block
-    padded layout used inside the V-cycle)."""
+    padded layout used inside the V-cycle).  With ``x_roll`` the x
+    contraction uses lane rolls against a band table instead of the MXU
+    dot (``xmat_ref`` then holds ``_band_table_x``)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
@@ -172,19 +196,30 @@ def _make_kernel_3d(p: int, z_off: int = 0):
             d_term = wm * rF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        CD = jnp.concatenate([C, D], axis=-1)
-        out_ref[0] = jax.lax.dot_general(
-            CD,
-            xmat_ref[:],
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
-        )
+        if x_roll:
+            out = None
+            for k in range(nb):
+                rc = _roll(C, p - k, 2)
+                rd = _roll(D, p - k, 2)
+                wm = xmat_ref[k].reshape(1, 1, -1)
+                ws = xmat_ref[nb + k].reshape(1, 1, -1)
+                t = wm * rc + ws * rd
+                out = t if out is None else out + t
+            out_ref[0] = out
+        else:
+            CD = jnp.concatenate([C, D], axis=-1)
+            out_ref[0] = jax.lax.dot_general(
+                CD,
+                xmat_ref[:],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HIGH,
+            )
 
     return kernel
 
 
-def _make_kernel_ms_3d(p: int, z_off: int = 0):
+def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False):
     """Dual-output: M u and K u from one slab pass (for the outer-system
     vmult, reference main.cc:1014-1028)."""
     nb = 2 * p + 1
@@ -218,6 +253,20 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0):
             ck_term = wm * rk + ws * rm
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
+        if x_roll:
+            om = None
+            ok = None
+            for k in range(nb):
+                rcm = _roll(Cm, p - k, 2)
+                rck = _roll(Ck, p - k, 2)
+                wm = xmat_ref[k].reshape(1, 1, -1)
+                ws = xmat_ref[nb + k].reshape(1, 1, -1)
+                om = wm * rcm if om is None else om + wm * rcm
+                t = wm * rck + ws * rcm
+                ok = t if ok is None else ok + t
+            outm_ref[0] = om
+            outk_ref[0] = ok
+            return
         dn = (((2,), (0,)), ((), ()))
         outm_ref[0] = jax.lax.dot_general(
             Cm,
@@ -324,16 +373,18 @@ def _geometry(u, p: int, dim: int, nx_p: int):
     return None, None, ny_p, pad
 
 
-@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret"))
-def _fused_apply(w, zb, yb, xmat, u, *, p, dim, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll")
+)
+def _fused_apply(w, zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False):
     # Mosaic wants 32-bit index arithmetic; trace with the x64 default off
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        return _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret)
+        return _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll)
 
 
-def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret):
+def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False):
     q = u.shape[0]
     nx_p = xmat.shape[1]
     bz, nzp, ny_p, pad = _geometry(u, p, dim, nx_p)
@@ -341,7 +392,7 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret):
     if dim == 3:
         nz, ny, nx = u.shape[1:]
         out = pl.pallas_call(
-            _make_kernel_3d(p),
+            _make_kernel_3d(p, x_roll=x_roll),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -376,15 +427,17 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret):
     return out[:, :ny, :nx]
 
 
-@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret"))
-def _fused_ms_apply(zb, yb, xmat, u, *, p, dim, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll")
+)
+def _fused_ms_apply(zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        return _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret)
+        return _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll)
 
 
-def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret):
+def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False):
     q = u.shape[0]
     nx_p = xmat.shape[1]
     bz, nzp, ny_p, pad = _geometry(u, p, dim, nx_p)
@@ -396,7 +449,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret):
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
         outm, outk = pl.pallas_call(
-            _make_kernel_ms_3d(p),
+            _make_kernel_ms_3d(p, x_roll=x_roll),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -431,15 +484,18 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret):
     return outm[sl], outk[sl]
 
 
-def _tables(ops: LevelOps, u, p: int, dim: int):
+def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False):
     nx_p = _ceil(u.shape[-1] + p, 128)
-    xmat = jnp.concatenate(
-        [
-            _dense_padded(ops.mass_band, nx_p).T,
-            _dense_padded(ops.stiff_band, nx_p).T,
-        ],
-        axis=0,
-    )
+    if x_roll:
+        xmat = _band_table_x(ops, nx_p)
+    else:
+        xmat = jnp.concatenate(
+            [
+                _dense_padded(ops.mass_band, nx_p).T,
+                _dense_padded(ops.stiff_band, nx_p).T,
+            ],
+            axis=0,
+        )
     if dim == 3:
         bz = _BZ if u.shape[1] >= _BZ else 8
         nzp = _ceil(u.shape[1], bz)
@@ -467,10 +523,12 @@ def fused_stencil_apply(
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
-    zb, yb, xmat = _tables(ops, u, p, dim)
+    x_roll = _x_roll_ok(p, dim)
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
     if dim == 3:
         out = _fused_apply(
-            w, zb, yb, xmat, u, p=p, dim=dim, interpret=interpret
+            w, zb, yb, xmat, u, p=p, dim=dim, interpret=interpret,
+            x_roll=x_roll,
         )
     else:
         out = _fused_apply(
@@ -484,8 +542,11 @@ def fused_mass_stiffness_apply(
 ):
     """(M u, K u) for a stage-batched block in one fused pass."""
     p = (ops.mass_band.shape[0] - 1) // 2
-    zb, yb, xmat = _tables(ops, u, p, dim)
-    return _fused_ms_apply(zb, yb, xmat, u, p=p, dim=dim, interpret=interpret)
+    x_roll = _x_roll_ok(p, dim)
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
+    return _fused_ms_apply(
+        zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -544,10 +605,10 @@ def unpad_field(u_pad, spatial, p: int, dim: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "spatial", "interpret")
+    jax.jit, static_argnames=("p", "dim", "spatial", "interpret", "x_roll")
 )
 def _fused_apply_padded(
-    w, zb, yb, xmat, u_pad, *, p, dim, spatial, interpret=False
+    w, zb, yb, xmat, u_pad, *, p, dim, spatial, interpret=False, x_roll=False
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -559,7 +620,7 @@ def _fused_apply_padded(
             nzp = u_pad.shape[1] - 2 * bz
             ny_p = u_pad.shape[2]
             out = pl.pallas_call(
-                _make_kernel_3d(p, z_off=bz - p),
+                _make_kernel_3d(p, z_off=bz - p, x_roll=x_roll),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -615,13 +676,17 @@ def fused_stencil_apply_padded(
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
     nx_p = u_pad.shape[-1]
-    xmat = jnp.concatenate(
-        [
-            _dense_padded(ops.mass_band, nx_p).T,
-            _dense_padded(ops.stiff_band, nx_p).T,
-        ],
-        axis=0,
-    )
+    x_roll = _x_roll_ok(p, dim)
+    if x_roll:
+        xmat = _band_table_x(ops, nx_p)
+    else:
+        xmat = jnp.concatenate(
+            [
+                _dense_padded(ops.mass_band, nx_p).T,
+                _dense_padded(ops.stiff_band, nx_p).T,
+            ],
+            axis=0,
+        )
     if dim == 3:
         bz = _BZ if spatial[0] >= _BZ else 8
         zb = _band_table(ops, u_pad.shape[1] - 2 * bz)
@@ -631,7 +696,7 @@ def fused_stencil_apply_padded(
         yb = _band_table(ops, u_pad.shape[1])
     return _fused_apply_padded(
         w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
-        interpret=interpret,
+        interpret=interpret, x_roll=x_roll,
     )
 
 
@@ -649,7 +714,7 @@ def fused_stencil_apply_padded(
 # discipline as fused_stencil_apply_padded).
 
 
-def _make_kernel_cheb_3d(p: int):
+def _make_kernel_cheb_3d(p: int, x_roll: bool = False):
     nb = 2 * p + 1
 
     def kernel(
@@ -687,14 +752,24 @@ def _make_kernel_cheb_3d(p: int):
             d_term = wm * rF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        CD = jnp.concatenate([C, D], axis=-1)
-        Ad = jax.lax.dot_general(
-            CD,
-            xmat_ref[:],
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HIGH,
-        )
+        if x_roll:
+            Ad = None
+            for k in range(nb):
+                rc = _roll(C, p - k, 2)
+                rd = _roll(D, p - k, 2)
+                wm = xmat_ref[k].reshape(1, 1, -1)
+                ws = xmat_ref[nb + k].reshape(1, 1, -1)
+                t = wm * rc + ws * rd
+                Ad = t if Ad is None else Ad + t
+        else:
+            CD = jnp.concatenate([C, D], axis=-1)
+            Ad = jax.lax.dot_general(
+                CD,
+                xmat_ref[:],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HIGH,
+            )
         r_new = r_ref[0] - Ad
         z = invd_ref[0] * r_new
         d_new = c1 * scratch[p : p + bz] + c2 * z
@@ -721,13 +796,17 @@ def fused_cheb_iter_padded(
     )
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     nx_p = d_pad.shape[-1]
-    xmat = jnp.concatenate(
-        [
-            _dense_padded(ops.mass_band, nx_p).T,
-            _dense_padded(ops.stiff_band, nx_p).T,
-        ],
-        axis=0,
-    )
+    x_roll = _x_roll_ok(p, dim)
+    if x_roll:
+        xmat = _band_table_x(ops, nx_p)
+    else:
+        xmat = jnp.concatenate(
+            [
+                _dense_padded(ops.mass_band, nx_p).T,
+                _dense_padded(ops.stiff_band, nx_p).T,
+            ],
+            axis=0,
+        )
     bz = _BZ if spatial[0] >= _BZ else 8
     nzp = d_pad.shape[1] - 2 * bz
     ny_p = d_pad.shape[2]
@@ -742,7 +821,7 @@ def fused_cheb_iter_padded(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz + 1, 0, 0)
         )
         r_new, d_new, x_new = pl.pallas_call(
-            _make_kernel_cheb_3d(p),
+            _make_kernel_cheb_3d(p, x_roll=x_roll),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -412,13 +412,28 @@ def gmres(
         x, r, res, it, carry = st
         active = (res > tol) & (it < maxiter)
         x, res, it, carry = cycle(x, r, res, it, carry)
-        # recompute the (preconditioned) residual for the next cycle; only
-        # lanes that were active this cycle may update their carry
-        r_new, carry_new = Ms(b - A(x), carry)
-        carry = _mask_carry(carry_new, carry, active)
-        res_new = jnp.sqrt(_dot(r_new, r_new, batch))
-        res = jnp.where(active, res_new, res)
-        return x, r_new, res, it, carry
+
+        # recompute the (preconditioned) residual only when a restart will
+        # actually continue — deal.II exits on the Givens estimate without
+        # a final recompute, and the recompute costs a full vmult +
+        # preconditioner application.  Only lanes that were active this
+        # cycle may update their carry.
+        def recompute(args):
+            x_, r_, res_, carry_ = args
+            r_new, carry_new = Ms(b - A(x_), carry_)
+            carry2 = _mask_carry(carry_new, carry_, active)
+            res_new = jnp.sqrt(_dot(r_new, r_new, batch))
+            return r_new, jnp.where(active, res_new, res_), carry2
+
+        def skip(args):
+            _x, r_, res_, carry_ = args
+            return r_, res_, carry_
+
+        still = (res > tol) & (it < maxiter)
+        r, res, carry = lax.cond(
+            jnp.any(still), recompute, skip, (x, r, res, carry)
+        )
+        return x, r, res, it, carry
 
     zero_it = jnp.zeros(lane_shape, jnp.int32) if batch else jnp.int32(0)
     x, _r, res, iters, carry = lax.while_loop(
