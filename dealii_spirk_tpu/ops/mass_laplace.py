@@ -81,6 +81,11 @@ def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
         # the 2D kernel holds whole per-stage planes in VMEM; beyond ~1M
         # f32 entries the working set would overflow the 16MB budget
         return False
+    if dim == 3:
+        from .pallas.stencil import kernel_vmem_fits
+
+        if not kernel_vmem_fits(u.shape[1:], p, dim):
+            return False
     return (
         1 <= p <= 4
         and dim in (2, 3)

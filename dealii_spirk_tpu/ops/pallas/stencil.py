@@ -100,12 +100,33 @@ def _band_table_x(ops: LevelOps, n_cols: int):
     return jnp.asarray(tab)
 
 
-def _x_roll_ok(p: int, dim: int) -> bool:
+def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
+    """Conservative scoped-VMEM estimate for the 3D kernels.
+
+    The kernels hold whole (ny_p, nx_p) planes: 2-slot DMA scratch of
+    bz+2p planes plus ~7 live block-sized intermediates (E/F/C/D, the
+    stacked dot operand, the output) — the fused Chebyshev kernel adds
+    6 more blocked in/out buffers.  Mosaic's scoped limit is 16 MB; at
+    m=255 (refinement 8, degree 1) the estimate is ~20 MB and the
+    compile fails, so callers must fall back to the XLA path."""
+    if dim != 3:
+        return True
+    ny_p = _ceil(spatial[-2] + p, 8)
+    nx_p = _ceil(spatial[-1] + p, 128)
+    plane = ny_p * nx_p * 4
+    bz = _BZ
+    blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if cheb else 0)
+    return plane * blocks <= 14 * 2**20
+
+
+def _x_roll_ok(p: int, dim: int, nx_p: int) -> bool:
     # Lane rolls beat the dense-padded MXU dot (6-pass f32 emulation
     # wasting ~99% of its MACs on a (2p+1)-diagonal matrix) when the roll
-    # count is small and the lane extent is one vreg tile: measured 34%
-    # faster at p=1, nx_p=128 on v5e.  Higher degrees keep the dot.
-    return dim == 3 and p == 1
+    # count is small and the lane extent is ONE vreg tile: measured 34%
+    # faster at p=1, nx_p=128 on v5e.  Rolls across multiple lane tiles
+    # blow Mosaic's scoped-VMEM budget (19.9M at nx_p=256) and higher
+    # degrees multiply the roll count — both keep the dot.
+    return dim == 3 and p == 1 and nx_p <= 128
 
 
 def _roll(x, shift: int, axis: int):
@@ -523,7 +544,7 @@ def fused_stencil_apply(
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
-    x_roll = _x_roll_ok(p, dim)
+    x_roll = _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
     zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
     if dim == 3:
         out = _fused_apply(
@@ -542,7 +563,7 @@ def fused_mass_stiffness_apply(
 ):
     """(M u, K u) for a stage-batched block in one fused pass."""
     p = (ops.mass_band.shape[0] - 1) // 2
-    x_roll = _x_roll_ok(p, dim)
+    x_roll = _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
     zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
     return _fused_ms_apply(
         zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll
@@ -676,7 +697,7 @@ def fused_stencil_apply_padded(
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
     nx_p = u_pad.shape[-1]
-    x_roll = _x_roll_ok(p, dim)
+    x_roll = _x_roll_ok(p, dim, nx_p)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
     else:
@@ -796,7 +817,7 @@ def fused_cheb_iter_padded(
     )
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     nx_p = d_pad.shape[-1]
-    x_roll = _x_roll_ok(p, dim)
+    x_roll = _x_roll_ok(p, dim, nx_p)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
     else:

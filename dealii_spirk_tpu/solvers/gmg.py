@@ -283,9 +283,11 @@ def vcycle(
 
     def smooth(l, rl, x0=None, rl_pad=None):
         ops = gmg.level_ops[l]
-        if fused_smooth:
-            from ..ops.pallas import stencil as st
+        from ..ops.pallas import stencil as st
 
+        if fused_smooth and st.kernel_vmem_fits(
+            (ops.m,) * dim, p, dim, cheb=True
+        ):
             sp = (ops.m,) * dim
             if rl_pad is None:
                 rl_pad = st.pad_field(rl, sp, p, dim)

@@ -146,6 +146,31 @@ def test_padded_vcycle_matches_classic():
         assert rel < 1e-5, (dim, pdeg, rel)
 
 
+def test_kernel_vmem_gate():
+    """Grids whose kernel working set exceeds Mosaic's 16MB scoped-VMEM
+    budget must NOT dispatch to pallas (m=255 3D compiled to a 26MB
+    request on v5e); production grids up to m=127 must."""
+    from dealii_spirk_tpu.ops.mass_laplace import _pallas_ok
+    from dealii_spirk_tpu.ops.pallas.stencil import kernel_vmem_fits
+
+    assert kernel_vmem_fits((127, 127, 127), 1, 3)
+    assert kernel_vmem_fits((127, 127, 127), 4, 3)
+    assert not kernel_vmem_fits((255, 255, 255), 1, 3)
+    assert kernel_vmem_fits((63, 63, 63), 1, 3, cheb=True)
+    assert kernel_vmem_fits((127, 127, 127), 1, 3, cheb=True)
+
+    lev = make_level(8, 1)  # m = 255
+    ops = level_ops(lev, jnp.float32)
+    import jax
+
+    u = jax.ShapeDtypeStruct((2, 255, 255, 255), jnp.float32)
+    assert not _pallas_ok(ops, u, 3)
+    lev7 = make_level(7, 1)
+    ops7 = level_ops(lev7, jnp.float32)
+    u7 = jax.ShapeDtypeStruct((2, 127, 127, 127), jnp.float32)
+    assert _pallas_ok(ops7, u7, 3)
+
+
 def test_fused_smooth_vcycle_matches_classic():
     """The standard-layout V-cycle with fused Chebyshev smoothing
     (SPIRK_FUSED_SMOOTH, the production default) must equal the classic
