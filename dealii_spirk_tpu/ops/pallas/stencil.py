@@ -129,15 +129,17 @@ def _x_roll_ok(p: int, dim: int, nx_p: int) -> bool:
     return dim == 3 and p == 1 and nx_p <= 128
 
 
-# Experimental: bf16x3 split for the in-kernel x-direction dot (p >= 2
-# path) — three bf16 MXU passes with f32 accumulation instead of
-# HIGHEST's six, dropping the lo*lo term (~5e-6 rel error, measured 33%
-# faster on the isolated dot).  Off by default: the operator noise sits
-# at the f32 Krylov tolerance floor (32 eps), so iteration-count parity
-# must be validated per configuration before enabling.
+# bf16x3 split for the in-kernel x-direction dot (p >= 2 path) — three
+# bf16 MXU passes with f32 accumulation instead of HIGHEST's six,
+# dropping the lo*lo term (~5e-6 rel error, 33% faster on the isolated
+# dot).  The operator noise sits at the f32 Krylov tolerance floor
+# (32 eps), so iteration-count parity was validated on hardware before
+# defaulting on: degree-4 3D irk_batched AND complex_irk_batched at
+# OuterTolerance 1e-8 give identical errors and identical outer/inner
+# counts vs HIGHEST (1.4-1.6x faster wall).  SPIRK_BF16X3=0 opts out.
 import os as _os
 
-_BF16X3 = _os.environ.get("SPIRK_BF16X3", "0") == "1"
+_BF16X3 = _os.environ.get("SPIRK_BF16X3", "1") == "1"
 
 
 def _x_dot(CD, xm):
