@@ -37,7 +37,9 @@ N_REPETITIONS = 10  # gmg.cc:213
 N_COMPONENTS = 8  # gmg.cc:350-382
 
 
-def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
+def _bench_mode(
+    space, gmg, dim, n_components, dtype, sharded=False, mode="stencil"
+):
     """One benchmark mode.  ``sharded`` distributes the component axis
     over the available devices — the reference's "8 sub-communicators,
     one component each" mode (gmg.cc:362-371)."""
@@ -49,10 +51,10 @@ def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
     if batch:
         shifts = jnp.ones((n_components,), dtype=dtype)
         prec = jax.jit(
-            lambda: gmg_reinit(gmg, shifts, b, dim, batch=True)
+            lambda: gmg_reinit(gmg, shifts, b, dim, mode, batch=True)
         )()
     else:
-        prec = jax.jit(lambda: gmg_reinit(gmg, a, b, dim))()
+        prec = jax.jit(lambda: gmg_reinit(gmg, a, b, dim, mode))()
     jax.block_until_ready(prec)
 
     fine = gmg.level_ops[-1]
@@ -74,17 +76,17 @@ def _bench_mode(space, gmg, dim, n_components, dtype, sharded=False):
         constrain = lambda v: jax.lax.with_sharding_constraint(v, sharding)
 
     if batch:
+        from .ops.mass_laplace import apply_shifted_batched
+
         A = lambda W: constrain(
-            jax.vmap(lambda w: apply_shifted(fine, a, b, w, dim))(
-                constrain(W)
-            )
+            apply_shifted_batched(fine, shifts, b, constrain(W), dim, mode)
         )
         M = lambda r: constrain(
-            vcycle(gmg, prec, shifts, b, constrain(r), dim, batch=True)
+            vcycle(gmg, prec, shifts, b, constrain(r), dim, mode, batch=True)
         )
     else:
-        A = lambda w: apply_shifted(fine, a, b, w, dim)
-        M = lambda r: vcycle(gmg, prec, a, b, r, dim)
+        A = lambda w: apply_shifted(fine, a, b, w, dim, mode)
+        M = lambda r: vcycle(gmg, prec, a, b, r, dim, mode)
 
     solve = jax.jit(
         lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20, reltol=reltol,
@@ -110,9 +112,20 @@ def main(argv=None) -> int:
     parser.add_argument("--max-ref", type=int, default=6)
     parser.add_argument("--degree", type=int, default=1)
     parser.add_argument("--precision", default="f64", choices=("f32", "f64"))
+    parser.add_argument(
+        "--op-mode",
+        default="auto",
+        choices=("auto", "stencil", "dense", "pallas"),
+        help="operator execution; auto = fused pallas kernels on a TPU "
+        "backend in f32, XLA stencil sweeps otherwise",
+    )
     args = parser.parse_args(argv)
 
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    op_mode = args.op_mode
+    if op_mode == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        op_mode = "pallas" if (on_tpu and dtype == jnp.float32) else "stencil"
     table = ConvergenceTable()
     for ref in range(args.min_ref, args.max_ref + 1):
         space = make_space(args.dim, args.degree, ref)
@@ -125,7 +138,8 @@ def main(argv=None) -> int:
             modes.append(("subgroups8", N_COMPONENTS, True))
         for label, nc, sharded in modes:
             elapsed, n_it = _bench_mode(
-                space, gmg, args.dim, nc, dtype, sharded=sharded
+                space, gmg, args.dim, nc, dtype, sharded=sharded,
+                mode=op_mode,
             )
             row[f"t_{label}"] = elapsed
             row[f"it_{label}"] = n_it
