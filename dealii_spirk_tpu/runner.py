@@ -42,6 +42,26 @@ def run_config(
         )
         params.precision = "f32"
 
+    if params.block_preconditioner_type == "AMG":
+        # reference preconditioner.h:176-215 wraps TrilinosWrappers AMG;
+        # there is no TPU-native AMG here — warn loudly instead of
+        # silently substituting (PARITY.md)
+        print(
+            "WARNING: BlockPreconditionerType 'AMG' has no TPU-native "
+            "implementation — running the GMG V-cycle preconditioner "
+            "instead (a different preconditioner; iteration counts are "
+            "not AMG-comparable; see PARITY.md). Set "
+            "BlockPreconditionerType to 'GMG' to silence this."
+        )
+    if params.padding != -1:
+        # reference main.cc:3681-3685 pads ranks-per-node for placement;
+        # device placement here is controlled by DoRowMajor on the mesh
+        print(
+            "WARNING: Padding is a rank-placement hint with no effect on "
+            "this backend (device placement is controlled by DoRowMajor; "
+            "see PARITY.md)."
+        )
+
     problem = HeatProblem(params)
     sp = problem.space
 
