@@ -27,10 +27,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--phase-timers",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="fill the t_vmult / t_prec_* table columns by replaying the "
-        "solver pieces (extra compiles; the reference's in-loop phase "
-        "timers, main.cc:998-1173)",
+        "solver pieces and scaling by the in-graph iteration counters "
+        "(the reference's in-loop phase timers, main.cc:998-1173); ON by "
+        "default — use --no-phase-timers to skip the extra piece compiles",
     )
     parser.add_argument("configs", nargs="+", help="JSON parameter files")
     args = parser.parse_args(argv)

@@ -4,13 +4,25 @@ cost of GMG-preconditioned CG on ``M + K`` four ways.
 
 Reference modes (``gmg.cc:350-382``) and their TPU realizations:
 
-1. 1 scalar component                  -> single solve
-2. FESystem with 8 components in 1 op  -> vmap over 8 components
-3. 8 sub-communicators x 1 component   -> 8 components sharded over the
-                                          devices of a mesh (one each)
-4. batched 8-block op + block GMG      -> vmap over 8 components (on a
-                                          TPU, 2 and 4 are the same fused
-                                          graph; both reported for parity)
+1. 1 scalar component                  -> single solve (``scalar``)
+2. FESystem with 8 components in 1 op  -> ``fesystem8``: ONE shared scalar
+                                          preconditioner (one Chebyshev
+                                          eigenvalue estimate, one coarse
+                                          factorization — the FESystem op
+                                          has a single preconditioner)
+                                          broadcast over the component
+                                          axis of the batched solve
+3. 8 sub-communicators x 1 component   -> ``subgroups8``: component axis
+                                          sharded one-per-device
+4. batched 8-block op + block GMG      -> ``batched8``: per-component
+                                          diagonals/estimates (block GMG);
+                                          identical apply graph to mode 2
+                                          on a TPU but distinct setup,
+                                          both reported like the reference
+
+Modes that exceed HBM at large refinements report ``oom`` instead of a
+time — the fit limit is *measured*, not defaulted (the reference sweeps
+to refinement 19 on 3072 nodes, gmg.cc:342).
 
 Reports time / iteration like ``gmg.cc:289-291`` (10 timed solves to
 reduction 1e-12 after one warmup, ReductionControl(1000, 1e-20, 1e-12)).
@@ -38,11 +50,15 @@ N_COMPONENTS = 8  # gmg.cc:350-382
 
 
 def _bench_mode(
-    space, gmg, dim, n_components, dtype, sharded=False, mode="stencil"
+    space, gmg, dim, n_components, dtype, sharded=False, mode="stencil",
+    shared_prec=False,
 ):
     """One benchmark mode.  ``sharded`` distributes the component axis
     over the available devices — the reference's "8 sub-communicators,
-    one component each" mode (gmg.cc:362-371)."""
+    one component each" mode (gmg.cc:362-371).  ``shared_prec`` builds
+    ONE scalar preconditioner and broadcasts it over the components —
+    the reference's FESystem mode (gmg.cc:356-360), whose single
+    operator carries a single Chebyshev estimate/coarse solve."""
     a, b = 1.0, 1.0  # gmg.cc solves the (M + K)-type system
     # gmg.cc uses ReductionControl(1000, 1e-20, 1e-12); 1e-12 is below f32
     # resolution, so scale the reduction to the dtype
@@ -50,9 +66,18 @@ def _bench_mode(
     batch = n_components > 1
     if batch:
         shifts = jnp.ones((n_components,), dtype=dtype)
-        prec = jax.jit(
-            lambda: gmg_reinit(gmg, shifts, b, dim, mode, batch=True)
-        )()
+        if shared_prec:
+            scalar_prec = jax.jit(
+                lambda: gmg_reinit(gmg, a, b, dim, mode)
+            )()
+            bcast = lambda x: jnp.broadcast_to(
+                x[None], (n_components,) + x.shape
+            )
+            prec = jax.tree_util.tree_map(bcast, scalar_prec)
+        else:
+            prec = jax.jit(
+                lambda: gmg_reinit(gmg, shifts, b, dim, mode, batch=True)
+            )()
     else:
         prec = jax.jit(lambda: gmg_reinit(gmg, a, b, dim, mode))()
     jax.block_until_ready(prec)
@@ -131,22 +156,34 @@ def main(argv=None) -> int:
         space = make_space(args.dim, args.degree, ref)
         gmg = build_gmg_data(space, dtype=dtype, with_dense=False)
         row = {"refinement": ref, "n_dofs": space.n_dofs}
-        modes = [("scalar", 1, False), ("batched8", N_COMPONENTS, False)]
+        modes = [
+            ("scalar", 1, False, False),
+            ("fesystem8", N_COMPONENTS, False, True),
+            ("batched8", N_COMPONENTS, False, False),
+        ]
         if len(jax.devices()) >= N_COMPONENTS:
             # the reference's "8 sub-communicators x 1 component" mode
             # (gmg.cc:362-371): component axis sharded one-per-device
-            modes.append(("subgroups8", N_COMPONENTS, True))
-        for label, nc, sharded in modes:
-            elapsed, n_it = _bench_mode(
-                space, gmg, args.dim, nc, dtype, sharded=sharded,
-                mode=op_mode,
-            )
+            modes.append(("subgroups8", N_COMPONENTS, True, False))
+        for label, nc, sharded, shared in modes:
+            try:
+                elapsed, n_it = _bench_mode(
+                    space, gmg, args.dim, nc, dtype, sharded=sharded,
+                    mode=op_mode, shared_prec=shared,
+                )
+            except Exception as e:  # measured HBM limit, not a default
+                if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                    row[f"t_{label}"] = "oom"
+                    row[f"it_{label}"] = 0
+                    row[f"t_per_it_{label}"] = "oom"
+                    continue
+                raise
             row[f"t_{label}"] = elapsed
             row[f"it_{label}"] = n_it
             row[f"t_per_it_{label}"] = elapsed / max(n_it, 1)
         for k, v in row.items():
             table.add_value(k, v)
-            if k.startswith("t"):
+            if k.startswith("t") and isinstance(v, float):
                 table.set_scientific(k, True)
         table.commit_row()
         print(json.dumps({k: (float(v) if isinstance(v, float) else v)

@@ -82,9 +82,11 @@ def _pallas_ok(ops: LevelOps, u, dim: int) -> bool:
         # f32 entries the working set would overflow the 16MB budget
         return False
     if dim == 3:
-        from .pallas.stencil import kernel_vmem_fits
+        from .pallas.stencil import kernel_fits
 
-        if not kernel_vmem_fits(u.shape[1:], p, dim):
+        # whole-plane kernel for m <= ~160, y-blocked variant beyond
+        # (refinement 8+ at degree 1 — the reference's sweep range)
+        if not kernel_fits(u.shape[1:], p, dim):
             return False
     return (
         1 <= p <= 4

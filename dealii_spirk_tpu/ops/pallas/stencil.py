@@ -101,14 +101,15 @@ def _band_table_x(ops: LevelOps, n_cols: int):
 
 
 def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
-    """Conservative scoped-VMEM estimate for the 3D kernels.
+    """Conservative scoped-VMEM estimate for the whole-plane 3D kernels.
 
     The kernels hold whole (ny_p, nx_p) planes: 2-slot DMA scratch of
     bz+2p planes plus ~7 live block-sized intermediates (E/F/C/D, the
     stacked dot operand, the output) — the fused Chebyshev kernel adds
     6 more blocked in/out buffers.  Mosaic's scoped limit is 16 MB; at
     m=255 (refinement 8, degree 1) the estimate is ~20 MB and the
-    compile fails, so callers must fall back to the XLA path."""
+    compile fails — the *y-blocked* kernel variant (``yb_for``) takes
+    over there."""
     if dim != 3:
         return True
     ny_p = _ceil(spatial[-2] + p, 8)
@@ -117,6 +118,42 @@ def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     bz = _BZ
     blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if cheb else 0)
     return plane * blocks <= 14 * 2**20
+
+
+def yb_for(spatial, p: int, dim: int) -> int:
+    """y-block size for the y-blocked 3D kernels, for grids where the
+    whole-plane kernel exceeds scoped VMEM (m >= 255 at degree 1 — the
+    reference's production range sweeps refinements 3..19,
+    /root/reference/scripts/parameters_all_q.py:33).
+
+    Returns 0 when the whole-plane kernel fits (preferred: no y-halo
+    re-reads, lane rolls available at p=1) or when no block size fits
+    (XLA fallback).  The estimate mirrors ``kernel_vmem_fits``: 2-slot
+    DMA scratch of (bz+2p, by+2p) planes, E/F at the haloed y extent,
+    and ~8 further (bz, by, nx_p) intermediates.
+    """
+    if dim != 3 or kernel_vmem_fits(spatial, p, dim):
+        return 0
+    nx_p = _ceil(spatial[-1] + p, 128)
+    bz = _BZ
+    for by in (128, 64, 32, 16, 8):
+        if by >= _ceil(spatial[-2] + p, 8):
+            continue
+        byh = _ceil(by + 2 * p, 8)  # == _yb_window(by, p)
+        floats = (
+            2 * (bz + 2 * p) * byh + 2 * bz * byh + 8 * bz * by
+        ) * nx_p
+        if floats * 4 <= 14 * 2**20:
+            return by
+    return 0
+
+
+def kernel_fits(spatial, p: int, dim: int) -> bool:
+    """Dispatch gate for the fused apply/ms kernels: whole-plane OR
+    y-blocked variant fits scoped VMEM."""
+    if dim != 3:
+        return True
+    return kernel_vmem_fits(spatial, p, dim) or yb_for(spatial, p, dim) > 0
 
 
 def _x_roll_ok(p: int, dim: int, nx_p: int) -> bool:
@@ -142,9 +179,9 @@ import os as _os
 _BF16X3 = _os.environ.get("SPIRK_BF16X3", "1") == "1"
 
 
-def _x_dot(CD, xm):
+def _x_dot(CD, xm, force_highest: bool = False):
     dn = (((2,), (0,)), ((), ()))
-    if _BF16X3:
+    if _BF16X3 and not force_highest:
         ch = CD.astype(jnp.bfloat16)
         cl = (CD - ch.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = xm.astype(jnp.bfloat16)
@@ -211,6 +248,168 @@ def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
         pltpu.VMEM((2, bz + 2 * p, ny_p, nx_p), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+
+
+def _yb_window(by: int, p: int) -> int:
+    """Sublane extent of the y DMA window: by + 2p rounded up to the
+    sublane tile (Mosaic requires HBM slice shapes aligned to 8)."""
+    return _ceil(by + 2 * p, 8)
+
+
+def _slab_dma_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
+    """Double-buffered (z, y)-windowed DMA for the y-blocked kernels.
+
+    Grid is (q, z-blocks, y-blocks); ``u_hbm`` carries leading z and y
+    halos of p, so the window at (iz, iy) reads interior planes
+    [iz*bz - p, iz*bz + bz + p) x rows [iy*by - p, iy*by - p + byw)
+    with byw = ceil(by + 2p, 8) (sublane-aligned slice shapes; the
+    trailing over-read rows are annihilated by the band weights).
+    Same cross-step prefetch discipline as ``_slab_dma``.
+    """
+    iq = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    nq = pl.num_programs(0)
+    nz_s = pl.num_programs(1)
+    ny_s = pl.num_programs(2)
+    g = (iq * nz_s + iz) * ny_s + iy
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def copy_for(iq_, iz_, iy_, slot_):
+        return pltpu.make_async_copy(
+            u_hbm.at[
+                iq_,
+                pl.ds(iz_ * bz, bz + 2 * p),
+                pl.ds(iy_ * by, _yb_window(by, p)),
+            ],
+            scratch.at[slot_],
+            sem.at[slot_],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(iq, iz, iy, slot).start()
+
+    carry_y = iy + 1 >= ny_s
+    niy = jnp.where(carry_y, 0, iy + 1)
+    carry_z = carry_y & (iz + 1 >= nz_s)
+    niz = jnp.where(carry_y, jnp.where(carry_z, 0, iz + 1), iz)
+    niq = jnp.where(carry_z, iq + 1, iq)
+
+    @pl.when(g + 1 < nq * nz_s * ny_s)
+    def _():
+        copy_for(niq, niz, niy, nslot).start()
+
+    copy_for(iq, iz, iy, slot).wait()
+    return scratch.at[slot]
+
+
+def _slab_scratch_yb(bz: int, p: int, by: int, nx_p: int):
+    return [
+        pltpu.VMEM((2, bz + 2 * p, _yb_window(by, p), nx_p), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _make_kernel_3d_yb(p: int):
+    """y-blocked fused apply: the y-combination is 2p+1 statically
+    shifted sub-slices of the haloed slab (replacing the whole-plane
+    sublane rolls), weighted by the band-table rows of this y block.
+    Output row r of block iy (interior row iy*by + r) reads slab row
+    k + r, i.e. interior row iy*by + r + (k - p) — the same coupling the
+    roll formulation expresses, but with whole-plane VMEM residency
+    replaced by (by + 2p)-row blocks."""
+    nb = 2 * p + 1
+
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
+        iq = pl.program_id(0)
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = out_ref.shape[1]
+        by = out_ref.shape[2]
+        scratch = _slab_dma_yb(u_hbm, scratch2, sem, p, bz, by)
+        a = w_ref[iq, 0]
+        b = w_ref[iq, 1]
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]  # (bz, by + 2p, nx_p)
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        C = None
+        D = None
+        for k in range(nb):
+            # rolled[r] = E[r + k]: output row r couples to window row
+            # r + k (interior offset k - p); roll + offset-0 slice keeps
+            # every sublane access aligned
+            sE = _roll(E, -k, 1)[:, :by, :]
+            sF = _roll(F, -k, 1)[:, :by, :]
+            wm = yb[:, k].reshape(1, by, 1)
+            ws = yb[:, nb + k].reshape(1, by, 1)
+            c_term = wm * sE + ws * sF
+            d_term = wm * sF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        # bf16x3 on the rolled/sliced operands trips Mosaic ("Bad lhs
+        # type" at (8,128,512)x(512,256) on v5e) — the 6-pass HIGHEST
+        # dot compiles and the kernel still beats XLA 3.3x at m=255
+        out_ref[0] = _x_dot(
+            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
+            force_highest=True,
+        )
+
+    return kernel
+
+
+def _make_kernel_ms_3d_yb(p: int):
+    """y-blocked dual-output (M u, K u) variant of ``_make_kernel_ms_3d``."""
+    nb = 2 * p + 1
+
+    def kernel(
+        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2, sem
+    ):
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = outm_ref.shape[1]
+        by = outm_ref.shape[2]
+        nx_p = outm_ref.shape[3]
+        scratch = _slab_dma_yb(u_hbm, scratch2, sem, p, bz, by)
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        Cm = None
+        Ck = None
+        for k in range(nb):
+            rm = _roll(Zm, -k, 1)[:, :by, :]
+            rk = _roll(Zk, -k, 1)[:, :by, :]
+            wm = yb[:, k].reshape(1, by, 1)
+            ws = yb[:, nb + k].reshape(1, by, 1)
+            cm_term = wm * rm
+            ck_term = wm * rk + ws * rm
+            Cm = cm_term if Cm is None else Cm + cm_term
+            Ck = ck_term if Ck is None else Ck + ck_term
+        # HIGHEST for the same Mosaic bf16 reason as _make_kernel_3d_yb
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], force_highest=True)
+        outk_ref[0] = _x_dot(
+            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:],
+            force_highest=True,
+        )
+
+    return kernel
 
 
 def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False):
@@ -412,20 +611,68 @@ def _geometry(u, p: int, dim: int, nx_p: int):
     return None, None, ny_p, pad
 
 
+def _geometry_yb(u, p: int, nx_p: int, by: int):
+    """Pad geometry for the y-blocked kernels: leading z AND y halos of
+    p (zero-filled, annihilated by the band weights) so every (z, y) DMA
+    window is in bounds; the y extent covers the last block's aligned
+    window (``_yb_window``)."""
+    nz, ny, nx = u.shape[1:]
+    bz = _BZ if nz >= _BZ else 8
+    nzp = _ceil(nz, bz)
+    nby = -(-ny // by)
+    y_ext = (nby - 1) * by + _yb_window(by, p)
+    pad = (
+        (0, 0),
+        (p, p + nzp - nz),
+        (p, y_ext - p - ny),
+        (0, nx_p - nx),
+    )
+    return bz, nzp, nby, pad
+
+
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll")
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
 )
-def _fused_apply(w, zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False):
+def _fused_apply(
+    w, zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0
+):
     # Mosaic wants 32-bit index arithmetic; trace with the x64 default off
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        return _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll)
+        return _fused_apply_impl(
+            w, zb, yb, xmat, u, p, dim, interpret, x_roll, by
+        )
 
 
-def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False):
+def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
+                      by=0):
     q = u.shape[0]
     nx_p = xmat.shape[1]
+    if dim == 3 and by:
+        nz, ny, nx = u.shape[1:]
+        bz, nzp, nby, pad = _geometry_yb(u, p, nx_p, by)
+        u_pad = jnp.pad(u, pad)
+        out = pl.pallas_call(
+            _make_kernel_3d_yb(p),
+            grid=(q, nzp // bz, nby),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (q, nzp, nby * by, nx_p), jnp.float32
+            ),
+            scratch_shapes=_slab_scratch_yb(bz, p, by, nx_p),
+            interpret=interpret,
+        )(w, zb, yb, xmat, u_pad)
+        return out[:, :nz, :ny, :nx]
     bz, nzp, ny_p, pad = _geometry(u, p, dim, nx_p)
     u_pad = jnp.pad(u, pad)
     if dim == 3:
@@ -467,18 +714,47 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll")
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
 )
-def _fused_ms_apply(zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False):
+def _fused_ms_apply(
+    zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0
+):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        return _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll)
+        return _fused_ms_apply_impl(
+            zb, yb, xmat, u, p, dim, interpret, x_roll, by
+        )
 
 
-def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False):
+def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
+                         by=0):
     q = u.shape[0]
     nx_p = xmat.shape[1]
+    if dim == 3 and by:
+        nz, ny, nx = u.shape[1:]
+        bz, nzp, nby, pad = _geometry_yb(u, p, nx_p, by)
+        u_pad = jnp.pad(u, pad)
+        shape = jax.ShapeDtypeStruct((q, nzp, nby * by, nx_p), jnp.float32)
+        spec = pl.BlockSpec(
+            (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+        )
+        outm, outk = pl.pallas_call(
+            _make_kernel_ms_3d_yb(p),
+            grid=(q, nzp // bz, nby),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(spec, spec),
+            out_shape=(shape, shape),
+            scratch_shapes=_slab_scratch_yb(bz, p, by, nx_p),
+            interpret=interpret,
+        )(zb, yb, xmat, u_pad)
+        sl = (slice(None), slice(None, nz), slice(None, ny), slice(None, nx))
+        return outm[sl], outk[sl]
     bz, nzp, ny_p, pad = _geometry(u, p, dim, nx_p)
     u_pad = jnp.pad(u, pad)
     if dim == 3:
@@ -523,7 +799,8 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False):
     return outm[sl], outk[sl]
 
 
-def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False):
+def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
+            by: int = 0):
     nx_p = _ceil(u.shape[-1] + p, 128)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -538,7 +815,8 @@ def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False):
     if dim == 3:
         bz = _BZ if u.shape[1] >= _BZ else 8
         nzp = _ceil(u.shape[1], bz)
-        ny_p = _ceil(u.shape[2] + p, 8)
+        ny = u.shape[2]
+        ny_p = (-(-ny // by)) * by if by else _ceil(ny + p, 8)
         zb = _band_table(ops, nzp)
         yb = _band_table(ops, ny_p)
         return zb, yb, xmat
@@ -547,12 +825,14 @@ def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False):
 
 
 def fused_stencil_apply(
-    ops: LevelOps, a, b, u, dim: int, *, interpret: bool = False
+    ops: LevelOps, a, b, u, dim: int, *, interpret: bool = False,
+    force_yb: int = 0,
 ):
     """(a M + b K) u in one fused pass, any supported degree.
 
     ``u``: (*spatial) with scalar ``a``, or (q, *spatial) with ``a`` of
-    shape (q,).  ``b`` (tau) is scalar.
+    shape (q,).  ``b`` (tau) is scalar.  ``force_yb`` overrides the
+    y-block-size choice (testing only).
     """
     p = (ops.mass_band.shape[0] - 1) // 2
     batched = u.ndim == dim + 1
@@ -562,12 +842,13 @@ def fused_stencil_apply(
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
-    x_roll = _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
-    zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
+    by = force_yb or yb_for(u.shape[1:], p, dim)
+    x_roll = (not by) and _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by)
     if dim == 3:
         out = _fused_apply(
             w, zb, yb, xmat, u, p=p, dim=dim, interpret=interpret,
-            x_roll=x_roll,
+            x_roll=x_roll, by=by,
         )
     else:
         out = _fused_apply(
@@ -577,14 +858,16 @@ def fused_stencil_apply(
 
 
 def fused_mass_stiffness_apply(
-    ops: LevelOps, u, dim: int, *, interpret: bool = False
+    ops: LevelOps, u, dim: int, *, interpret: bool = False, force_yb: int = 0
 ):
     """(M u, K u) for a stage-batched block in one fused pass."""
     p = (ops.mass_band.shape[0] - 1) // 2
-    x_roll = _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
-    zb, yb, xmat = _tables(ops, u, p, dim, x_roll)
+    by = force_yb or yb_for(u.shape[1:], p, dim) if dim == 3 else 0
+    x_roll = (not by) and _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by)
     return _fused_ms_apply(
-        zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+        zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll,
+        by=by,
     )
 
 

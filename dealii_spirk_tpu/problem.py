@@ -54,9 +54,14 @@ class HeatProblem:
         self.u0 = _outer([sin_nodes] * dim)
 
         # spatial load factor per axis: integral of sin(a pi x) against the
-        # interior basis with QGauss(p+1)
+        # interior basis with QGauss(p+1).  Only the 1D factor is stored;
+        # the dim-D outer product is built lazily inside traced functions
+        # (``load``) — capturing the full m^dim tensor as an HLO constant
+        # inflates compiled programs by q*m^3*4 bytes (66 MB at
+        # refinement 8), which this machine's remote-compile tunnel
+        # rejects (HTTP 413) and which wastes HBM regardless.
         f1 = sp.rhs_eval.T @ (sp.rhs_wq * np.sin(WAVE * np.pi * sp.rhs_xq))
-        self.load = _outer([jnp.asarray(f1, dtype=self.dtype)] * dim)
+        self._load_1d = jnp.asarray(f1, dtype=self.dtype)
 
         # error machinery (QGauss(p+2))
         self._E = jnp.asarray(sp.err_eval, dtype=self.dtype)
@@ -66,9 +71,30 @@ class HeatProblem:
         )
         self._errors_jit = jax.jit(self._errors)
 
+    @property
+    def load(self):
+        """Spatial load tensor F0 (separable outer product; eager use
+        only — inside jit use ``stage_load`` so the m^dim tensor is built
+        in-graph instead of being embedded as a constant)."""
+        return _outer([self._load_1d] * self.space.dim)
+
+    def stage_load(self, tf):
+        """(len(tf), *spatial) per-stage load block ``tf_i * F0``.
+
+        ``tf`` is traced (it depends on t), so the chained outer products
+        stay in the compiled graph — only the (m,) 1D factor is a
+        constant.  XLA fuses the broadcast-multiplies into the consumer.
+        """
+        out = tf[:, None] * self._load_1d[None]
+        for _ in range(self.space.dim - 1):
+            out = jnp.tensordot(out, self._load_1d, axes=0)
+        return out
+
     def rhs(self, t):
-        """Assembled load vector at time t (traced-friendly)."""
-        return rhs_time_factor(t, self.space.dim).astype(self.dtype) * self.load
+        """Assembled load vector at time t (traced-friendly; the m^dim
+        tensor is built in-graph via ``stage_load``)."""
+        tf = rhs_time_factor(t, self.space.dim).astype(self.dtype)
+        return self.stage_load(jnp.atleast_1d(tf))[0]
 
     def initial_condition(self):
         return self.u0

@@ -33,6 +33,11 @@ class SchemeBase:
         self.timers = PhaseTimers()
         self.n_outer = 0.0
         self.n_inner = 0.0
+        # per-stage (or per-pair) inner counts for per-stage time
+        # attribution (reference main.cc:810-813); schemes accumulate
+        import numpy as _np
+
+        self.n_inner_stage = _np.zeros(getattr(params, "irk_stages", 1))
         self._tau_cached: float | None = None
         self._prec = None
 
@@ -53,6 +58,7 @@ class SchemeBase:
         self.timers.clear()
         self.n_outer = 0.0
         self.n_inner = 0.0
+        self.n_inner_stage = self.n_inner_stage * 0
 
     def after_step(self, timestep_number: int) -> None:
         if timestep_number == 1:
@@ -80,6 +86,30 @@ class SchemeBase:
         ):
             table.add_value(col, t[key] / s)
             table.set_scientific(col, True)
+
+    def add_per_stage_times(
+        self, table, scaling_factor: float, n_lanes: int
+    ) -> None:
+        """t_prec_solver_0..9 (reference ``main.cc:810-813``): per-stage
+        (or per-conjugate-pair) share of the measured preconditioner-solve
+        time, attributed by the in-graph per-lane iteration counters —
+        the stage solves run fused inside one compiled program, so the
+        counters are the per-lane work measurement.  With InnerTolerance 0
+        every lane does exactly one V-cycle and the true split is uniform."""
+        import numpy as np
+
+        s = max(scaling_factor, 1.0)
+        total = self.timers.seconds["preconditioner_solver"] / s
+        counts = np.asarray(self.n_inner_stage, dtype=float)
+        if counts.sum() > 0:
+            shares = counts / counts.sum()
+        else:
+            shares = np.zeros_like(counts)
+            shares[:n_lanes] = 1.0 / max(n_lanes, 1)
+        for i in range(10):
+            v = float(total * shares[i]) if i < len(shares) else 0.0
+            table.add_value(f"t_prec_solver_{i}", v)
+            table.set_scientific(f"t_prec_solver_{i}", True)
 
     # -- interface -----------------------------------------------------------
     def solve_step(self, u, timestep_number: int, t: float, tau: float):

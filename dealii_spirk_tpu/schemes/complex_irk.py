@@ -65,7 +65,6 @@ class ComplexIRK(SchemeBase):
 
         gmg, fine = self.gmg, self.fine
         dim, mode = self.dim, self.mode
-        load = problem.load
         inner_tol = params.inner_tolerance
         outer_tol = params.outer_tolerance
         batched = params.is_batched
@@ -99,7 +98,7 @@ class ComplexIRK(SchemeBase):
 
         def rhs_fn(u, t, tau):
             tf = stage_times_factor(c_vec, t, tau, dim).astype(dt)
-            W = tf.reshape((q,) + (1,) * dim) * load[None]
+            W = problem.stage_load(tf)
             W = W - apply_stiffness(fine, u, dim, mode)[None]
             return stage_mix(A_inv, W)
 
@@ -293,5 +292,16 @@ class ComplexIRK(SchemeBase):
             raise RuntimeError("pair GMRES did not converge within 1000 iterations")
         self.n_outer += int(np.asarray(n_outer).sum())
         self.n_inner += int(np.asarray(n_inner).sum())
+        # per-pair outer counts drive the per-group time attribution
+        # (reference t_prec_solver_0..9, main.cc:810-813): each conjugate
+        # pair's GMRES is an independent lane
+        n_pairs = np.asarray(n_outer).shape[0] if np.asarray(n_outer).ndim else 1
+        self.n_inner_stage[:n_pairs] = self.n_inner_stage[:n_pairs] + np.asarray(
+            n_outer
+        ).reshape(-1)
         self.after_step(timestep_number)
         return u
+
+    def get_statistics(self, table, scaling_factor=1.0):
+        super().get_statistics(table, scaling_factor)
+        self.add_per_stage_times(table, scaling_factor, self.n_pairs)

@@ -65,7 +65,6 @@ class IRK(SchemeBase):
 
         gmg, fine = self.gmg, self.fine
         dim, mode = self.dim, self.mode
-        load = problem.load
         inner_tol = params.inner_tolerance
         outer_tol = params.outer_tolerance
         batched = params.is_batched
@@ -99,7 +98,9 @@ class IRK(SchemeBase):
 
         def rhs_fn(u, t, tau):
             tf = stage_times_factor(c_vec, t, tau, dim).astype(dt)
-            W = tf.reshape((q,) + (1,) * dim) * load[None]
+            # stage_load keeps the m^dim load tensor in-graph (a captured
+            # constant would bloat the program by q*m^dim*4 bytes)
+            W = problem.stage_load(tf)
             W = W - apply_stiffness(fine, u, dim, mode)[None]
             return shard(mixer(A_inv, W))
 
@@ -243,6 +244,9 @@ class IRK(SchemeBase):
             # reference aborts on solver non-convergence (main.cc:927-930)
             raise RuntimeError("outer GMRES did not converge within 1000 iterations")
         self.n_outer += int(n_outer)
+        # keep the per-stage inner counts for per-stage time attribution
+        # (reference t_prec_solver_0..9, main.cc:810-813)
+        self.n_inner_stage = self.n_inner_stage + np.asarray(n_inner)
         if self.params.is_batched:
             # one block V-cycle counts once (reference main.cc:1115-1119)
             self.n_inner += int(np.asarray(n_inner)[0])
@@ -253,14 +257,4 @@ class IRK(SchemeBase):
 
     def get_statistics(self, table, scaling_factor=1.0):
         super().get_statistics(table, scaling_factor)
-        # per-stage preconditioner-solve timers (reference main.cc:810-813):
-        # stage solves run fused inside one compiled program here, so the
-        # per-stage wall share is not separately observable; report the
-        # even split of the measured preconditioner time.
-        s = max(scaling_factor, 1.0)
-        per_stage = self.timers.seconds["preconditioner_solver"] / (s * self.q)
-        for i in range(10):
-            table.add_value(
-                f"t_prec_solver_{i}", per_stage if i < self.q else 0.0
-            )
-            table.set_scientific(f"t_prec_solver_{i}", True)
+        self.add_per_stage_times(table, scaling_factor, self.q)

@@ -200,8 +200,21 @@ def gmres(
     restart: int = 28,
     batch: bool = False,
     orthog: str | None = None,
+    adaptive: int | None = None,
 ) -> KrylovResult:
     """Left-preconditioned GMRES(restart) with Givens rotations.
+
+    ``adaptive`` (default from ``SPIRK_GMRES_ADAPTIVE``, else 12): the
+    deal.II-style "allocate tmp vectors as needed" analog for a static
+    graph.  A first cycle runs with a small ``adaptive``-column basis; if
+    every lane converges inside it — the production case: these solves
+    take 4-10 iterations while deal.II's default basis is 30 vectors
+    (reference outer solver ``main.cc:920-925``) — the result is
+    IDENTICAL to the full-restart run (same Krylov space, no restart
+    triggered) at a third of the basis memory/zeroing traffic.  Only
+    when a lane is still unconverged does the full ``restart``-column
+    run execute, from the original state, so iteration counts keep
+    exact deal.II parity in every case.  ``0`` disables.
 
     ``orthog`` selects the orthogonalization scheme (default from
     ``SPIRK_GMRES_ORTHOG``, else ``"mgs"``):
@@ -268,23 +281,27 @@ def gmres(
 
         return jax.tree_util.tree_map(f, new, old)
 
-    def cycle(x, r, res, total_iters, carry):
-        """One restart cycle from x with preconditioned residual r."""
+    def make_cycle(Rc: int):
+        return partial(_cycle, Rc)
+
+    def _cycle(Rc, x, r, res, total_iters, carry):
+        """One restart cycle from x with preconditioned residual r,
+        basis size ``Rc``."""
         beta = jnp.sqrt(_dot(r, r, batch))
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         v0 = r / _expand(safe_beta, r, batch)
 
-        V = jnp.zeros((R + 1,) + b.shape, dtype)
+        V = jnp.zeros((Rc + 1,) + b.shape, dtype)
         V = V.at[0].set(v0)
-        H = jnp.zeros(lane_shape + (R + 1, R), dtype)  # rotated (triangular)
-        g = jnp.zeros(lane_shape + (R + 1,), dtype)
+        H = jnp.zeros(lane_shape + (Rc + 1, Rc), dtype)  # rotated (triangular)
+        g = jnp.zeros(lane_shape + (Rc + 1,), dtype)
         g = g.at[..., 0].set(beta)
-        cs = jnp.zeros(lane_shape + (R,), dtype)
-        sn = jnp.zeros(lane_shape + (R,), dtype)
+        cs = jnp.zeros(lane_shape + (Rc,), dtype)
+        sn = jnp.zeros(lane_shape + (Rc,), dtype)
 
         def cond(st):
             _V, _H, _g, _cs, _sn, k, res, it, _carry = st
-            return jnp.any((res > tol) & (k < R) & (it < maxiter))
+            return jnp.any((res > tol) & (k < Rc) & (it < maxiter))
 
         def body(st):
             V, H, g, cs, sn, k, res, it, carry = st
@@ -298,7 +315,7 @@ def gmres(
                 # mid-position batch dim transposes the basis buffer on
                 # TPU).  Rows > k are still zero, so the unused columns
                 # contribute nothing; the mask keeps that explicit.
-                cmask = (jnp.arange(R + 1) <= k).astype(dtype)
+                cmask = (jnp.arange(Rc + 1) <= k).astype(dtype)
                 red_axes = tuple(range(2 if batch else 1, V.ndim))
                 dots = jnp.sum(V * w[None], axis=red_axes)
                 dots = dots * (cmask[:, None] if batch else cmask)
@@ -307,7 +324,7 @@ def gmres(
                 hcol = dots.T if batch else dots
             else:
                 # modified Gram-Schmidt against all previous vectors
-                hcol = jnp.zeros(lane_shape + (R + 1,), dtype)
+                hcol = jnp.zeros(lane_shape + (Rc + 1,), dtype)
 
                 def mgs(j, carry):
                     w, hcol = carry
@@ -371,13 +388,13 @@ def gmres(
         V, H, g, cs, sn, k, res, it, carry = lax.while_loop(cond, body, st)
 
         # back-substitution on the rotated (upper-triangular) H
-        Rm = H[..., :R, :R]
-        idx = jnp.arange(R)
+        Rm = H[..., :Rc, :Rc]
+        idx = jnp.arange(Rc)
 
         def solve_lane(Rl, gl, kl):
             pad = jnp.where(idx >= kl, 1.0, 0.0)
             Afull = Rl + jnp.diag(pad)
-            gl = jnp.where(idx < kl, gl[:R], 0.0)
+            gl = jnp.where(idx < kl, gl[:Rc], 0.0)
             y = jax.scipy.linalg.solve_triangular(Afull, gl, lower=False)
             return y
 
@@ -403,6 +420,8 @@ def gmres(
 
             dx = lax.fori_loop(0, k_sz, acc_fn, jnp.zeros_like(x))
         return x + dx, res, it, carry
+
+    cycle = make_cycle(R)
 
     def outer_cond(st):
         _x, _r, res, it, _carry = st
@@ -436,9 +455,31 @@ def gmres(
         return x, r, res, it, carry
 
     zero_it = jnp.zeros(lane_shape, jnp.int32) if batch else jnp.int32(0)
-    x, _r, res, iters, carry = lax.while_loop(
-        outer_cond, outer_body, (x0, r0, beta0, zero_it, carry0)
-    )
+
+    def run_full(_):
+        x, _r, res, iters, carry = lax.while_loop(
+            outer_cond, outer_body, (x0, r0, beta0, zero_it, carry0)
+        )
+        return x, res, iters, carry
+
+    if adaptive is None:
+        import os
+
+        adaptive = int(os.environ.get("SPIRK_GMRES_ADAPTIVE", "12"))
+    if adaptive and adaptive < R and maxiter > adaptive:
+        # small-basis first cycle; escalate (from scratch) only if any
+        # lane is still unconverged — see the docstring
+        x_s, res_s, it_s, carry_s = make_cycle(adaptive)(
+            x0, r0, beta0, zero_it, carry0
+        )
+        x, res, iters, carry = lax.cond(
+            jnp.all(res_s <= tol),
+            lambda _: (x_s, res_s, it_s, carry_s),
+            run_full,
+            None,
+        )
+    else:
+        x, res, iters, carry = run_full(None)
     return KrylovResult(
         x=x, n_iterations=iters, residual=res, M_carry=carry
     )

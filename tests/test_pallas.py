@@ -147,11 +147,16 @@ def test_padded_vcycle_matches_classic():
 
 
 def test_kernel_vmem_gate():
-    """Grids whose kernel working set exceeds Mosaic's 16MB scoped-VMEM
-    budget must NOT dispatch to pallas (m=255 3D compiled to a 26MB
-    request on v5e); production grids up to m=127 must."""
+    """Whole-plane kernels stop fitting scoped VMEM at m=255 3D (26MB
+    request on v5e); the y-blocked variant takes over there, so pallas
+    dispatch must STAY on — this is the reference's production range
+    (refinements 3..19, scripts/parameters_all_q.py:33)."""
     from dealii_spirk_tpu.ops.mass_laplace import _pallas_ok
-    from dealii_spirk_tpu.ops.pallas.stencil import kernel_vmem_fits
+    from dealii_spirk_tpu.ops.pallas.stencil import (
+        kernel_fits,
+        kernel_vmem_fits,
+        yb_for,
+    )
 
     assert kernel_vmem_fits((127, 127, 127), 1, 3)
     assert kernel_vmem_fits((127, 127, 127), 4, 3)
@@ -159,16 +164,72 @@ def test_kernel_vmem_gate():
     assert kernel_vmem_fits((63, 63, 63), 1, 3, cheb=True)
     assert kernel_vmem_fits((127, 127, 127), 1, 3, cheb=True)
 
-    lev = make_level(8, 1)  # m = 255
+    # y-blocked coverage beyond the whole-plane limit
+    assert yb_for((127, 127, 127), 1, 3) == 0  # whole-plane preferred
+    assert yb_for((255, 255, 255), 1, 3) > 0
+    assert yb_for((255, 255, 255), 4, 3) > 0
+    assert yb_for((511, 511, 511), 1, 3) > 0
+    assert kernel_fits((255, 255, 255), 1, 3)
+    assert kernel_fits((511, 511, 511), 1, 3)
+
+    lev = make_level(8, 1)  # m = 255: y-blocked kernel dispatches
     ops = level_ops(lev, jnp.float32)
     import jax
 
     u = jax.ShapeDtypeStruct((2, 255, 255, 255), jnp.float32)
-    assert not _pallas_ok(ops, u, 3)
+    assert _pallas_ok(ops, u, 3)
     lev7 = make_level(7, 1)
     ops7 = level_ops(lev7, jnp.float32)
     u7 = jax.ShapeDtypeStruct((2, 127, 127, 127), jnp.float32)
     assert _pallas_ok(ops7, u7, 3)
+
+
+@pytest.mark.parametrize(
+    "p,ref,by", [(1, 3, 8), (1, 4, 16), (2, 2, 8), (4, 2, 8)]
+)
+def test_yb_matches_xla_path(p, ref, by):
+    """The y-blocked kernel (production path for m >= 255) must equal the
+    XLA banded path; exercised at small sizes by forcing a y block."""
+    lev = make_level(ref, p)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(7)
+    q = 3
+    W = jnp.asarray(rng.standard_normal((q,) + (lev.m,) * 3), jnp.float32)
+    d = jnp.asarray([1.0, 2.5, 4.0], jnp.float32)
+    want = jax.vmap(
+        lambda di, wi: apply_shifted(ops, di, 0.3, wi, 3, "stencil")
+    )(d, W)
+    got = fused_stencil_apply(
+        ops, d, 0.3, W, 3, interpret=True, force_yb=by
+    )
+    np.testing.assert_allclose(
+        got, want, atol=float(4e-5 * max(1.0, np.abs(want).max()))
+    )
+
+
+@pytest.mark.parametrize("p,ref,by", [(1, 3, 8), (2, 2, 8)])
+def test_yb_ms_matches_xla_path(p, ref, by):
+    from dealii_spirk_tpu.ops.mass_laplace import (
+        apply_mass_batched,
+        apply_stiffness_batched,
+    )
+    from dealii_spirk_tpu.ops.pallas.stencil import fused_mass_stiffness_apply
+
+    lev = make_level(ref, p)
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(8)
+    W = jnp.asarray(rng.standard_normal((3,) + (lev.m,) * 3), jnp.float32)
+    got_m, got_k = fused_mass_stiffness_apply(
+        ops, W, 3, interpret=True, force_yb=by
+    )
+    np.testing.assert_allclose(
+        got_m, apply_mass_batched(ops, W, 3), atol=2e-5
+    )
+    k_want = apply_stiffness_batched(ops, W, 3)
+    # kernel x-dot runs as 3 bf16 passes (~1e-5 relative)
+    np.testing.assert_allclose(
+        got_k, k_want, atol=float(2e-5 * np.abs(k_want).max() + 1e-6)
+    )
 
 
 def test_fused_smooth_vcycle_matches_classic():
