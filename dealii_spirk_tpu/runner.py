@@ -43,23 +43,16 @@ def run_config(
         params.precision = "f32"
 
     if params.block_preconditioner_type == "AMG":
-        # reference preconditioner.h:176-215 wraps TrilinosWrappers AMG;
-        # there is no TPU-native AMG here — warn loudly instead of
-        # silently substituting (PARITY.md)
+        # reference preconditioner.h:176-215 wraps TrilinosWrappers ML
+        # AMG; here AMG = a TPU-native plain-aggregation algebraic
+        # hierarchy (solvers/amg.py) with Chebyshev smoothing — honest
+        # AMG semantics, but iteration counts are NOT comparable to
+        # Trilinos ML's smoothed-aggregation defaults (PARITY.md)
         print(
-            "WARNING: BlockPreconditionerType 'AMG' has no TPU-native "
-            "implementation — running the GMG V-cycle preconditioner "
-            "instead (a different preconditioner; iteration counts are "
-            "not AMG-comparable; see PARITY.md). Set "
-            "BlockPreconditionerType to 'GMG' to silence this."
-        )
-    if params.padding != -1:
-        # reference main.cc:3681-3685 pads ranks-per-node for placement;
-        # device placement here is controlled by DoRowMajor on the mesh
-        print(
-            "WARNING: Padding is a rank-placement hint with no effect on "
-            "this backend (device placement is controlled by DoRowMajor; "
-            "see PARITY.md)."
+            "NOTE: BlockPreconditionerType 'AMG' runs the TPU-native "
+            "plain-aggregation algebraic hierarchy (solvers/amg.py), not "
+            "Trilinos ML — iteration counts are not ML-comparable; see "
+            "PARITY.md."
         )
 
     problem = HeatProblem(params)
@@ -72,6 +65,7 @@ def run_config(
             params.stage_axis_size,
             max_ranks=params.max_ranks,
             do_row_major=params.do_row_major,
+            padding=params.padding,
         )
 
     scheme = make_scheme(problem, params, mesh=mesh)

@@ -24,11 +24,23 @@ class SchemeBase:
         self.dim = problem.space.dim
         self.mode = params.operator_mode
         self.dtype = problem.dtype
-        self.gmg = build_gmg_data(
-            problem.space,
-            dtype=self.dtype,
-            with_dense=(self.mode == "dense"),
-        )
+        if params.block_preconditioner_type == "AMG":
+            # algebraic (plain-aggregation) hierarchy, reference
+            # PreconditionerAMG (preconditioner.h:176-215); same GMGData
+            # container, so the V-cycle machinery is shared
+            from ..solvers.amg import build_amg_data
+
+            self.gmg = build_amg_data(
+                problem.space,
+                dtype=self.dtype,
+                with_dense=(self.mode == "dense"),
+            )
+        else:
+            self.gmg = build_gmg_data(
+                problem.space,
+                dtype=self.dtype,
+                with_dense=(self.mode == "dense"),
+            )
         self.fine = self.gmg.level_ops[-1]
         self.timers = PhaseTimers()
         self.n_outer = 0.0

@@ -117,3 +117,38 @@ def test_spirk_q8_full_stage_mesh():
     )
     np.testing.assert_allclose(out["error_L2"], seq["error_L2"], rtol=1e-9)
     assert out["n_outer"] == seq["n_outer"]
+
+
+def test_stage_axis_adjacency_row_major():
+    """Row-major placement puts each stage group on CONSECUTIVE device
+    ids (ICI-adjacent on torus-ordered hardware) — the reference's
+    virtual-topology intent (lex_to_pair, main.cc:281-293)."""
+    mesh = make_mesh(4, do_row_major=True)
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    # each space column holds consecutive ids along the stage axis
+    for j in range(ids.shape[1]):
+        col = ids[:, j]
+        assert list(col) == list(range(col[0], col[0] + len(col))), ids
+
+
+def test_padding_drops_node_straddlers():
+    """Padding=P keeps only (P // s) * s devices per node of P, so a
+    stage group never straddles a node boundary (reference
+    create_rectangular_comm, main.cc:365-405)."""
+    devices = jax.devices()  # 8 virtual CPU devices
+    mesh = make_mesh(3, devices=devices, padding=4)
+    ids = sorted(d.id for d in mesh.devices.flat)
+    # nodes {0..3}, {4..7}: keep first 3 of each node, then trim to a
+    # 3 x 2 rectangle
+    assert ids == [0, 1, 2, 4, 5, 6]
+    assert dict(mesh.shape) == {"stage": 3, "space": 2}
+
+
+def test_padding_default_keeps_everything():
+    m_def = make_mesh(4, padding=-1)
+    assert len(list(m_def.devices.flat)) == 8
+
+
+def test_padding_smaller_than_stages_raises():
+    with pytest.raises(ValueError, match="at least as large"):
+        make_mesh(4, padding=2)
