@@ -178,6 +178,10 @@ import os as _os
 
 _BF16X3 = _os.environ.get("SPIRK_BF16X3", "1") == "1"
 
+# Force interpret-mode execution of every public kernel entry point
+# (CPU testing of the full pallas-mode solve paths, incl. schemes)
+_INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
+
 
 def _x_dot(CD, xm, force_highest: bool = False):
     dn = (((2,), (0,)), ((), ()))
@@ -248,6 +252,97 @@ def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
         pltpu.VMEM((2, bz + 2 * p, ny_p, nx_p), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+
+
+def _slab_dma_canon(u_hbm, scratch, sem, p: int, bz: int):
+    """Double-buffered z-slab DMA for the zero-halo canonical layout.
+
+    The source array has z extent nzp = ceil(nz, bz) with NO halo planes.
+    Interior blocks copy the usual window [iz*bz - p, iz*bz + bz + p); the
+    first/last blocks copy the in-bounds sub-window into the right offset
+    of the scratch slab and the missing halo planes are zero-filled
+    in-kernel (their couplings exit the domain, so the standard band
+    table already weights them by zero — the zeroing only guards against
+    non-finite garbage in uninitialized VMEM).  The kernel's
+    ``zb[:, k]`` / ``scratch[k : k + bz]`` access pattern and the plain
+    ``_band_table`` are IDENTICAL to the classic layout.  Requires at
+    least two z blocks (``canon_supported``).  Returns the slab Ref.
+    """
+    iq = pl.program_id(0)
+    iz = pl.program_id(1)
+    nq = pl.num_programs(0)
+    nsteps = pl.num_programs(1)
+    last = nsteps - 1
+    g = iq * nsteps + iz
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def first_copy(iq_, slot_):
+        # planes [0, bz + p) -> scratch[p:]
+        return pltpu.make_async_copy(
+            u_hbm.at[iq_, pl.ds(0, bz + p)],
+            scratch.at[slot_, pl.ds(p, bz + p)],
+            sem.at[slot_],
+        )
+
+    def last_copy(iq_, slot_):
+        # planes [nzp - bz - p, nzp) -> scratch[:bz + p]
+        return pltpu.make_async_copy(
+            u_hbm.at[iq_, pl.ds(last * bz - p, bz + p)],
+            scratch.at[slot_, pl.ds(0, bz + p)],
+            sem.at[slot_],
+        )
+
+    def mid_copy(iq_, iz_, slot_):
+        return pltpu.make_async_copy(
+            u_hbm.at[iq_, pl.ds(iz_ * bz - p, bz + 2 * p)],
+            scratch.at[slot_],
+            sem.at[slot_],
+        )
+
+    def start_for(iq_, iz_, slot_):
+        @pl.when(iz_ == 0)
+        def _():
+            first_copy(iq_, slot_).start()
+
+        @pl.when(iz_ == last)
+        def _():
+            last_copy(iq_, slot_).start()
+
+        @pl.when((iz_ > 0) & (iz_ < last))
+        def _():
+            mid_copy(iq_, iz_, slot_).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_for(iq, iz, slot)
+
+    niq = jnp.where(iz + 1 < nsteps, iq, iq + 1)
+    niz = jnp.where(iz + 1 < nsteps, iz + 1, 0)
+
+    @pl.when(g + 1 < nq * nsteps)
+    def _():
+        start_for(niq, niz, nslot)
+
+    @pl.when(iz == 0)
+    def _():
+        first_copy(iq, slot).wait()
+        scratch[slot, pl.ds(0, p)] = jnp.zeros(
+            (p,) + scratch.shape[2:], scratch.dtype
+        )
+
+    @pl.when(iz == last)
+    def _():
+        last_copy(iq, slot).wait()
+        scratch[slot, pl.ds(bz + p, p)] = jnp.zeros(
+            (p,) + scratch.shape[2:], scratch.dtype
+        )
+
+    @pl.when((iz > 0) & (iz < last))
+    def _():
+        mid_copy(iq, iz, slot).wait()
+
+    return scratch.at[slot]
 
 
 def _yb_window(by: int, p: int) -> int:
@@ -412,12 +507,15 @@ def _make_kernel_ms_3d_yb(p: int):
     return kernel
 
 
-def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False):
+def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
+                    canon: bool = False):
     """``z_off``: element offset of the data region on the slab axis minus
     p (0 for the classic layout with a p-ghost, bz for the halo-block
     padded layout used inside the V-cycle).  With ``x_roll`` the x
     contraction uses lane rolls against a band table instead of the MXU
-    dot (``xmat_ref`` then holds ``_band_table_x``)."""
+    dot (``xmat_ref`` then holds ``_band_table_x``).  ``canon``: zero-halo
+    canonical layout — clamped DMA windows (``_slab_dma_canon``) paired
+    with the shift-baked z table (``_band_table_z_canon``)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
@@ -425,7 +523,10 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False):
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
         ny_p = out_ref.shape[2]
-        scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
+        if canon:
+            scratch = _slab_dma_canon(u_hbm, scratch2, sem, p, bz)
+        else:
+            scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         zb = zb_ref[pl.ds(iz * bz, bz)]  # (bz, lanes)
@@ -468,7 +569,8 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False):
     return kernel
 
 
-def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False):
+def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
+                       canon: bool = False):
     """Dual-output: M u and K u from one slab pass (for the outer-system
     vmult, reference main.cc:1014-1028)."""
     nb = 2 * p + 1
@@ -481,7 +583,10 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False):
         bz = outm_ref.shape[1]
         ny_p = outm_ref.shape[2]
         nx_p = outm_ref.shape[3]
-        scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
+        if canon:
+            scratch = _slab_dma_canon(u_hbm, scratch2, sem, p, bz)
+        else:
+            scratch = _slab_dma(u_hbm, scratch2, sem, p, z_off, bz)
         zb = zb_ref[pl.ds(iz * bz, bz)]
         Zm = None
         Zk = None
@@ -834,6 +939,7 @@ def fused_stencil_apply(
     shape (q,).  ``b`` (tau) is scalar.  ``force_yb`` overrides the
     y-block-size choice (testing only).
     """
+    interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     batched = u.ndim == dim + 1
     if not batched:
@@ -861,6 +967,7 @@ def fused_mass_stiffness_apply(
     ops: LevelOps, u, dim: int, *, interpret: bool = False, force_yb: int = 0
 ):
     """(M u, K u) for a stage-batched block in one fused pass."""
+    interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or yb_for(u.shape[1:], p, dim) if dim == 3 else 0
     x_roll = (not by) and _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
@@ -869,6 +976,271 @@ def fused_mass_stiffness_apply(
         zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll,
         by=by,
     )
+
+
+# ---------------------------------------------------------------------------
+# zero-halo canonical layout
+# ---------------------------------------------------------------------------
+#
+# Every classic fused apply pays THREE full HBM round trips: jnp.pad of
+# the input, the kernel pass itself, and the output slice — ~3x the
+# traffic an out-of-place apply needs.  The canonical layout removes the
+# pad and the slice by keeping ALL solver fields (Krylov vectors, V-cycle
+# residuals/corrections, smoother state) in the kernel's aligned shape
+#
+#     3D: (q, nzp, ny_p, nx_p),  nzp  = ceil(nz, bz)  (NO z-halo planes)
+#     2D: (q, ny_p, nx_p)
+#
+# with the pad regions maintained EXACTLY ZERO.  Two properties make the
+# layout closed under every operation in the solve:
+#
+# * the kernels write zeros into every pad position whenever the input
+#   pads are zero (band tables/x operators are zero beyond the m physical
+#   rows), so applies preserve the invariant with no halo scrubs — this is
+#   what the earlier halo-block padded layout (below) lacked;
+# * all other solve operations (elementwise chains, stage mixes, Krylov
+#   dots, zero-embedded transfer matmuls) are linear and touch pads only
+#   multiplicatively, so zeros stay zeros and dots/norms are unchanged —
+#   iteration counts are bit-for-bit those of the classic path.
+#
+# The z-halo is eliminated by branch-specific boundary DMAs
+# (``_slab_dma_canon``): first/last blocks copy the in-bounds sub-window
+# and zero the missing halo planes in VMEM, so the in-kernel access
+# pattern and band tables are unchanged.  Requires >= 2 z blocks
+# (``canon_supported``).
+
+
+def canon_shape(spatial, p: int, dim: int):
+    """Canonical zero-halo shape (without the leading batch axis)."""
+    if dim == 3:
+        nz, ny, nx = spatial
+        bz = _BZ if nz >= _BZ else 8
+        return (_ceil(nz, bz), _ceil(ny + p, 8), _ceil(nx + p, 128))
+    ny, nx = spatial
+    return (_ceil(ny + p, 8), _ceil(nx + p, 128))
+
+
+def canon_supported(spatial, p: int, dim: int, cheb: bool = False) -> bool:
+    """True when the canonical-layout kernels can run at this size: the
+    clamped DMA window must fit the z extent and the whole-plane kernel
+    must fit scoped VMEM (y-blocked canonical variants: future work)."""
+    if not (1 <= p <= 4 and dim in (2, 3)):
+        return False
+    if dim == 2:
+        ps = canon_shape(spatial, p, 2)
+        return ps[0] * ps[1] * 4 <= 4 * 2**20
+    nz = spatial[0]
+    bz = _BZ if nz >= _BZ else 8
+    if _ceil(nz, bz) < 2 * bz:  # first/last DMA branches must be distinct
+        return False
+    return kernel_vmem_fits(spatial, p, dim, cheb=cheb)
+
+
+def pad_canon(u, spatial, p: int, dim: int):
+    """(q, *spatial) -> canonical layout (pads zero)."""
+    ps = canon_shape(spatial, p, dim)
+    pad = ((0, 0),) + tuple(
+        (0, ps[i] - spatial[i]) for i in range(dim)
+    )
+    return jnp.pad(u, pad)
+
+
+def unpad_canon(u_c, spatial, dim: int):
+    return u_c[(slice(None),) + tuple(slice(0, s) for s in spatial)]
+
+
+def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
+    nx_p = shape_c[-1]
+    if x_roll:
+        xmat = _band_table_x(ops, nx_p)
+    else:
+        xmat = jnp.concatenate(
+            [
+                _dense_padded(ops.mass_band, nx_p).T,
+                _dense_padded(ops.stiff_band, nx_p).T,
+            ],
+            axis=0,
+        )
+    if dim == 3:
+        zb = _band_table(ops, shape_c[1])
+        yb = _band_table(ops, shape_c[2])
+        return zb, yb, xmat
+    return None, _band_table(ops, shape_c[1]), xmat
+
+
+@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret", "x_roll"))
+def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q = u_c.shape[0]
+        nx_p = u_c.shape[-1]
+        if dim == 3:
+            nzp, ny_p = u_c.shape[1], u_c.shape[2]
+            bz = _BZ
+            return pl.pallas_call(
+                _make_kernel_3d(p, x_roll=x_roll, canon=True),
+                grid=(q, nzp // bz),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+                interpret=interpret,
+            )(w, zb, yb, xmat, u_c)
+        ny_p = u_c.shape[1]
+        spec = pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0))
+        return pl.pallas_call(
+            _make_kernel_2d(p),
+            grid=(q,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                spec,
+            ],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+            interpret=interpret,
+        )(w, yb, xmat, u_c)
+
+
+def fused_stencil_apply_canon(
+    ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False
+):
+    """(a M + b K) on a canonical-layout stage block — ONE HBM round trip,
+    pads in == zero implies pads out == zero (no scrubs)."""
+    interpret = interpret or _INTERPRET
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = u_c.shape[0]
+    a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
+    b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
+    w = jnp.stack([a_arr, b_arr], axis=1)
+    x_roll = _x_roll_ok(p, dim, u_c.shape[-1])
+    zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    return _fused_apply_canon(
+        w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret", "x_roll"))
+def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q = u_c.shape[0]
+        nx_p = u_c.shape[-1]
+        shape = jax.ShapeDtypeStruct(u_c.shape, jnp.float32)
+        if dim == 3:
+            nzp, ny_p = u_c.shape[1], u_c.shape[2]
+            bz = _BZ
+            spec = pl.BlockSpec(
+                (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+            )
+            return pl.pallas_call(
+                _make_kernel_ms_3d(p, x_roll=x_roll, canon=True),
+                grid=(q, nzp // bz),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=(spec, spec),
+                out_shape=(shape, shape),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+                interpret=interpret,
+            )(zb, yb, xmat, u_c)
+        ny_p = u_c.shape[1]
+        spec = pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0))
+        return pl.pallas_call(
+            _make_kernel_ms_2d(p),
+            grid=(q,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                spec,
+            ],
+            out_specs=(spec, spec),
+            out_shape=(shape, shape),
+            interpret=interpret,
+        )(yb, xmat, u_c)
+
+
+def fused_mass_stiffness_apply_canon(
+    ops: LevelOps, u_c, dim: int, *, interpret: bool = False
+):
+    """(M u, K u) on a canonical-layout stage block, one HBM pass."""
+    interpret = interpret or _INTERPRET
+    p = (ops.mass_band.shape[0] - 1) // 2
+    x_roll = _x_roll_ok(p, dim, u_c.shape[-1])
+    zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    return _fused_ms_apply_canon(
+        zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+    )
+
+
+def fused_cheb_iter_canon(
+    ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
+    *, interpret: bool = False,
+):
+    """One fused Chebyshev iteration on canonical-layout stage blocks
+    (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
+    single HBM pass.  Pads of every input zero implies pads of every
+    output zero — nothing to re-zero."""
+    interpret = interpret or _INTERPRET
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = d_c.shape[0]
+    to_q = lambda s: jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
+    )
+    w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
+    x_roll = _x_roll_ok(p, dim, d_c.shape[-1])
+    zb, yb, xmat = _tables_canon(ops, d_c.shape, p, dim, x_roll)
+    return _fused_cheb_canon(
+        w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
+        interpret=interpret, x_roll=x_roll,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret", "x_roll"))
+def _fused_cheb_canon(
+    w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll
+):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q, nzp, ny_p, nx_p = d_c.shape
+        bz = _BZ
+        shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        blocked = pl.BlockSpec(
+            (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+        )
+        return pl.pallas_call(
+            _make_kernel_cheb_3d(p, x_roll=x_roll, canon=True),
+            grid=(q, nzp // bz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blocked,
+                blocked,
+                blocked,
+            ],
+            out_specs=(blocked, blocked, blocked),
+            out_shape=(shape, shape, shape),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            interpret=interpret,
+        )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
 
 
 # ---------------------------------------------------------------------------
@@ -992,6 +1364,7 @@ def fused_stencil_apply_padded(
     ``u_pad``: (q, *padded_shape(spatial, p, dim)); returns the same
     layout.  Halo/pad regions of the result are unspecified.
     """
+    interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = u_pad.shape[0]
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
@@ -1036,7 +1409,7 @@ def fused_stencil_apply_padded(
 # discipline as fused_stencil_apply_padded).
 
 
-def _make_kernel_cheb_3d(p: int, x_roll: bool = False):
+def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False):
     nb = 2 * p + 1
 
     def kernel(
@@ -1047,7 +1420,10 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False):
         iz = pl.program_id(1)
         bz = r_out.shape[1]
         ny_p = r_out.shape[2]
-        scratch = _slab_dma(d_hbm, scratch2, sem, p, bz - p, bz)
+        if canon:
+            scratch = _slab_dma_canon(d_hbm, scratch2, sem, p, bz)
+        else:
+            scratch = _slab_dma(d_hbm, scratch2, sem, p, bz - p, bz)
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         c1 = w_ref[iq, 2]
@@ -1104,6 +1480,7 @@ def fused_cheb_iter_padded(
     Returns ``(r', d', x')`` in the same layout; the caller re-zeroes the
     DMA-adjacent halo planes of d' (and of x' if x' feeds another apply).
     """
+    interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = d_pad.shape[0]
     to_q = lambda s: jnp.broadcast_to(

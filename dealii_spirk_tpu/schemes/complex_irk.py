@@ -71,20 +71,44 @@ class ComplexIRK(SchemeBase):
         shard = self._shard_pair
 
         shifts = d_re2 + d_im2  # PRESB / block-GMG shifts (main.cc:1959)
-        mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
-        shifted_b = lambda si, Wi, tau: apply_shifted_batched(
-            fine, si, tau, Wi, dim, mode
+
+        # zero-halo canonical layout for the whole pair solve (see
+        # ops/pallas/stencil.py and schemes/irk.py — same discipline:
+        # pads stay exactly zero, dots/norms and therefore iteration
+        # counts are unchanged)
+        from ..ops.pallas import stencil as st
+        from ..solvers.gmg import vcycle_canon
+
+        p_deg = (fine.mass_band.shape[0] - 1) // 2
+        spatial = (fine.m,) * dim
+        use_canon = (
+            mode == "pallas"
+            and mesh is None
+            and self.dtype == jnp.float32
+            and st.canon_supported(spatial, p_deg, dim)
         )
+        self.use_canon = use_canon
+
+        if use_canon:
+            mass_b = lambda W: st.fused_stencil_apply_canon(
+                fine, 1.0, 0.0, W, dim
+            )
+            shifted_b = lambda si, Wi, tau: st.fused_stencil_apply_canon(
+                fine, si, tau, Wi, dim
+            )
+        else:
+            mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
+            shifted_b = lambda si, Wi, tau: apply_shifted_batched(
+                fine, si, tau, Wi, dim, mode
+            )
 
         def complex_b(d_re, d_im, Z, tau):
             """2x2 block complex apply over pair blocks (n2, 2, *spatial)
             (reference operator.h:593-666), flattened so the fused batched
             operator serves both components in one sweep."""
             flat = Z.reshape((Z.shape[0] * 2,) + Z.shape[2:])
-            S = apply_shifted_batched(
-                fine, jnp.repeat(d_re, 2), tau, flat, dim, mode
-            ).reshape(Z.shape)
-            Mz = apply_mass_batched(fine, flat, dim, mode).reshape(Z.shape)
+            S = shifted_b(jnp.repeat(d_re, 2), flat, tau).reshape(Z.shape)
+            Mz = mass_b(flat).reshape(Z.shape)
             lam = d_im.reshape((Z.shape[0],) + (1,) * dim)
             cross = jnp.stack([-lam * Mz[:, 1], lam * Mz[:, 0]], axis=1)
             return S + cross
@@ -102,19 +126,20 @@ class ComplexIRK(SchemeBase):
             W = W - apply_stiffness(fine, u, dim, mode)[None]
             return stage_mix(A_inv, W)
 
+        def _vc(prec, s_vec, tau, r):
+            if use_canon:
+                return vcycle_canon(gmg, prec, s_vec, tau, r, dim)
+            return vcycle(gmg, prec, s_vec, tau, r, dim, mode, batch=True)
+
         def inner_solve(rhs_pairs, prec, tau):
             """Solve (shift_i M + tau K) x = rhs for all pairs at once."""
             if inner_tol == 0.0:
-                x = vcycle(
-                    gmg, prec, shifts, tau, rhs_pairs, dim, mode, batch=True
-                )
+                x = _vc(prec, shifts, tau, rhs_pairs)
                 return x, jnp.ones((rhs_pairs.shape[0],), jnp.int32)
             res = pcg(
                 lambda Wb: shifted_b(shifts, Wb, tau),
                 rhs_pairs,
-                M=lambda r: vcycle(
-                    gmg, prec, shifts, tau, r, dim, mode, batch=True
-                ),
+                M=lambda r: _vc(prec, shifts, tau, r),
                 maxiter=100,
                 # the reference PRESB uses an *absolute* SolverControl
                 # tolerance here (main.cc:2302)
@@ -124,6 +149,8 @@ class ComplexIRK(SchemeBase):
             return res.x, res.n_iterations
 
         def solve_fn(W_rhs, prec, tau):
+            if use_canon:
+                W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
             # complex T^{-1}: q real blocks -> n2 (re, im) pairs
             Z = jnp.stack(
                 [stage_mix(T_inv_re2, W_rhs), stage_mix(T_inv_im2, W_rhs)],
@@ -138,16 +165,7 @@ class ComplexIRK(SchemeBase):
 
                 def Mop(v, carry):
                     vv = v.reshape((n2 * 2,) + v.shape[2:])
-                    out = vcycle(
-                        gmg,
-                        prec,
-                        jnp.repeat(shifts, 2),
-                        tau,
-                        vv,
-                        dim,
-                        mode,
-                        batch=True,
-                    )
+                    out = _vc(prec, jnp.repeat(shifts, 2), tau, vv)
                     return shard(out.reshape(v.shape)), carry + 1
 
                 carry0 = jnp.zeros((n2, 2), jnp.int32)
@@ -183,6 +201,8 @@ class ComplexIRK(SchemeBase):
             W = jnp.einsum("ji,i...->j...", T_re_s, zr) - jnp.einsum(
                 "ji,i...->j...", T_im_s, zi
             )
+            if use_canon:
+                W = st.unpad_canon(W, spatial, dim)
             return W, res.n_iterations, res.M_carry
 
         def update_fn(u, W, tau):
@@ -245,6 +265,12 @@ class ComplexIRK(SchemeBase):
         prec = self.prec_state(tau)
         n2 = self.n_pairs
         sp = self.problem.space.shape
+        if self.use_canon:
+            # the solve runs in the canonical layout; probe it there
+            from ..ops.pallas import stencil as st
+
+            p_deg = (self.fine.mass_band.shape[0] - 1) // 2
+            sp = st.canon_shape(sp, p_deg, self.dim)
         Z = jnp.ones((n2, 2) + sp, dtype=self.dtype)
         Wq = jnp.ones((self.q,) + sp, dtype=self.dtype)
         Wp = jnp.ones((n2,) + sp, dtype=self.dtype)

@@ -43,7 +43,7 @@ from ..ops.mass_laplace import (
     apply_shifted_batched,
     apply_stiffness,
 )
-from ..solvers.gmg import gmg_reinit, vcycle
+from ..solvers.gmg import gmg_reinit, vcycle, vcycle_canon
 from ..solvers.krylov import gmres, pcg
 from .base import SchemeBase, stage_mix, stage_times_factor
 
@@ -93,6 +93,27 @@ class IRK(SchemeBase):
             fine, di, tau, Wi, dim, mode
         )
 
+        # zero-halo canonical layout for the whole batched solve (see
+        # ops/pallas/stencil.py): rhs is padded once, every Krylov vector
+        # and V-cycle field stays in the kernels' aligned shape with
+        # exactly-zero pads, and the solution is unpadded once — applies
+        # and fused Chebyshev iterations pay ONE HBM pass instead of
+        # three.  Dots/norms are unchanged (pads zero), so iteration
+        # counts match the classic path bit-for-bit.
+        from ..ops.pallas import stencil as st
+
+        p_deg = (fine.mass_band.shape[0] - 1) // 2
+        spatial = (fine.m,) * dim
+        use_canon = (
+            mode == "pallas"
+            and mesh is None
+            and not sequential_stages
+            and self.dtype == jnp.float32
+            and q >= 2
+            and st.canon_supported(spatial, p_deg, dim)
+        )
+        self.use_canon = use_canon
+
         def reinit(tau):
             return gmg_reinit(gmg, d_vec, tau, dim, mode, batch=True)
 
@@ -105,9 +126,17 @@ class IRK(SchemeBase):
             return shard(mixer(A_inv, W))
 
         def solve_fn(W_rhs, prec, tau):
+            if use_canon:
+                W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
+
             def Aop(W):
                 W = shard(W)
-                MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
+                if use_canon:
+                    MW, KW = st.fused_mass_stiffness_apply_canon(
+                        fine, W, dim
+                    )
+                else:
+                    MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
                 return shard(mixer(A_inv, MW) + tau * KW)
 
             def Mop(v, carry):
@@ -145,15 +174,27 @@ class IRK(SchemeBase):
                             carry = carry.at[i].add(1)
                     z = jnp.stack(outs)
                 elif inner_tol > 0.0 and not batched:
-                    res = pcg(
-                        lambda Wb: shifted_b(d_vec, shard(Wb), tau),
-                        z,
-                        M=lambda r: shard(
+                    if use_canon:
+                        A_in = lambda Wb: st.fused_stencil_apply_canon(
+                            fine, d_vec, tau, shard(Wb), dim
+                        )
+                        M_in = lambda r: shard(
+                            vcycle_canon(
+                                gmg, prec, d_vec, tau, shard(r), dim
+                            )
+                        )
+                    else:
+                        A_in = lambda Wb: shifted_b(d_vec, shard(Wb), tau)
+                        M_in = lambda r: shard(
                             vcycle(
                                 gmg, prec, d_vec, tau, shard(r), dim, mode,
                                 batch=True,
                             )
-                        ),
+                        )
+                    res = pcg(
+                        A_in,
+                        z,
+                        M=M_in,
                         maxiter=100,
                         abstol=1e-10,
                         reltol=inner_tol,
@@ -161,6 +202,9 @@ class IRK(SchemeBase):
                     )
                     z = res.x
                     carry = carry + res.n_iterations
+                elif use_canon:
+                    z = vcycle_canon(gmg, prec, d_vec, tau, z, dim)
+                    carry = carry + 1
                 else:
                     z = vcycle(
                         gmg, prec, d_vec, tau, z, dim, mode, batch=True
@@ -178,7 +222,10 @@ class IRK(SchemeBase):
                 reltol=outer_tol,
                 restart=28,
             )
-            return res.x, res.n_iterations, res.M_carry
+            W = (
+                st.unpad_canon(res.x, spatial, dim) if use_canon else res.x
+            )
+            return W, res.n_iterations, res.M_carry
 
         def update_fn(u, W, tau):
             return u + tau * jnp.einsum("i,i...->...", b_vec, W)
@@ -189,6 +236,12 @@ class IRK(SchemeBase):
         # program, so the run driver re-times the pieces afterwards and
         # scales by the recorded application counts.
         def vmult_piece(W, tau):
+            if use_canon:
+                Wc = st.pad_canon(W, spatial, p_deg, dim)
+                MW, KW = st.fused_mass_stiffness_apply_canon(fine, Wc, dim)
+                return st.unpad_canon(
+                    mixer(A_inv, MW) + tau * KW, spatial, dim
+                )
             MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
             return mixer(A_inv, MW) + tau * KW
 
@@ -196,6 +249,13 @@ class IRK(SchemeBase):
             return mixer(T, mixer(T_inv, W))
 
         def prec_solver_piece(W, prec, tau):
+            if use_canon:
+                Wc = st.pad_canon(W, spatial, p_deg, dim)
+                return st.unpad_canon(
+                    vcycle_canon(gmg, prec, d_vec, tau, Wc, dim),
+                    spatial,
+                    dim,
+                )
             return vcycle(gmg, prec, d_vec, tau, W, dim, mode, batch=True)
 
         self.vmult_piece = vmult_piece

@@ -61,6 +61,9 @@ class GMGPrec(NamedTuple):
     # canonical-padded Jacobi diagonals for the zero-copy pallas V-cycle
     # (None outside "pallas" batched mode)
     inv_diags_padded: tuple[jnp.ndarray, ...] | None = None
+    # zero-halo canonical-layout diagonals (``vcycle_canon``); entries are
+    # None at levels where the canonical kernels don't run
+    inv_diags_canon: tuple[jnp.ndarray | None, ...] | None = None
 
 
 # levels at or below this DoF count are dropped and solved exactly by the
@@ -214,12 +217,20 @@ def gmg_reinit(
         coarse_inv = jnp.linalg.inv(a * gmg.coarse_mass + b * gmg.coarse_stiff)
 
     inv_diags_padded = None
-    if mode == "pallas" and batch and (PADDED_VCYCLE or FUSED_SMOOTH):
-        from ..ops.pallas.stencil import pad_field
+    inv_diags_canon = None
+    if mode == "pallas" and batch:
+        from ..ops.pallas import stencil as st
 
         p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
-        inv_diags_padded = tuple(
-            pad_field(invd, (ops.m,) * dim, p, dim)
+        if PADDED_VCYCLE or FUSED_SMOOTH:
+            inv_diags_padded = tuple(
+                st.pad_field(invd, (ops.m,) * dim, p, dim)
+                for invd, ops in zip(inv_diags, gmg.level_ops)
+            )
+        inv_diags_canon = tuple(
+            st.pad_canon(invd, (ops.m,) * dim, p, dim)
+            if st.canon_supported((ops.m,) * dim, p, dim)
+            else None
             for invd, ops in zip(inv_diags, gmg.level_ops)
         )
 
@@ -229,6 +240,7 @@ def gmg_reinit(
         deltas=tuple(deltas),
         coarse_inv=coarse_inv,
         inv_diags_padded=inv_diags_padded,
+        inv_diags_canon=inv_diags_canon,
     )
 
 
@@ -370,6 +382,159 @@ def _chebyshev_padded(
         )
         rho = rho_new
     return x
+
+
+def _chebyshev_canon(
+    ops, a, b, invd_c, theta, delta, r_c, dim,
+    *, x0_c=None, degree=SMOOTHER_DEGREE, interpret=False,
+):
+    """Chebyshev smoothing on canonical-layout stage blocks.  3D uses the
+    fused iteration kernel (one HBM pass per iteration); 2D runs the
+    elementwise chain with the canonical apply (no pad/slice passes
+    either way).  Pads stay exactly zero throughout."""
+    from ..ops.pallas import stencil as st
+
+    if dim == 2:
+        A = lambda u: st.fused_stencil_apply_canon(
+            ops, a, b, u, dim, interpret=interpret
+        )
+        return chebyshev_apply(
+            A, invd_c, theta, delta, r_c, x0=x0_c, degree=degree, batch=True
+        )
+
+    def ex(s):
+        return s.reshape(s.shape + (1,) * (r_c.ndim - 1))
+
+    if x0_c is None:
+        rr = r_c
+        x = jnp.zeros_like(r_c)
+    else:
+        rr = r_c - st.fused_stencil_apply_canon(
+            ops, a, b, x0_c, dim, interpret=interpret
+        )
+        x = x0_c
+    z = invd_c * rr
+    d = z / ex(theta)
+    x = x + d
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        c1 = rho_new * rho
+        c2 = 2.0 * rho_new / delta
+        rr, d, x = st.fused_cheb_iter_canon(
+            ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret
+        )
+        rho = rho_new
+    return x
+
+
+def vcycle_canon(
+    gmg: GMGData,
+    prec: GMGPrec,
+    a,
+    b,
+    r_c,
+    dim: int,
+    *,
+    degree: int = SMOOTHER_DEGREE,
+    interpret: bool = False,
+):
+    """Batched V-cycle on the zero-halo canonical layout: ``r_c`` and the
+    result are (q, *canon_shape(fine)) with pads exactly zero; applies and
+    fused Chebyshev iterations pay ONE HBM pass each (no per-apply
+    pad/slice, no halo scrubs — see ``ops/pallas/stencil.py``).  Iteration
+    semantics are identical to ``vcycle(..., batch=True)``: pads are zero
+    so every dot/norm matches bit-for-bit.  Levels too small for the
+    canonical kernels fall back to the compact path locally (cheap there).
+    """
+    from ..ops.banded import apply_dense_1d
+    from ..ops.pallas import stencil as st
+
+    p = (gmg.level_ops[0].mass_band.shape[0] - 1) // 2
+    n_levels = len(gmg.level_ops)
+    spatials = [(ops.m,) * dim for ops in gmg.level_ops]
+
+    def _canon_ok(l):
+        return (
+            prec.inv_diags_canon is not None
+            and prec.inv_diags_canon[l] is not None
+        )
+
+    def _transfer_mats(l):
+        """Canonical-embedded 1D transfer matrices, levels l <-> l+1."""
+        P1 = np.asarray(gmg.prolongs[l], dtype=np.float32)
+        cs_f = st.canon_shape(spatials[l + 1], p, dim)
+        cs_c = st.canon_shape(spatials[l], p, dim)
+        mats_P, mats_R = [], []
+        for ax in range(dim):
+            Pp = np.zeros((cs_f[ax], cs_c[ax]), np.float32)
+            Pp[: P1.shape[0], : P1.shape[1]] = P1
+            mats_P.append(jnp.asarray(Pp))
+            mats_R.append(jnp.asarray(Pp.T))
+        return mats_P, mats_R
+
+    def _apply_axes(mats, u):
+        for ax_i, m_ in enumerate(mats):
+            u = apply_dense_1d(m_, u, 1 + ax_i)
+        return u
+
+    def _A_canon(l):
+        ops = gmg.level_ops[l]
+        return lambda uc: st.fused_stencil_apply_canon(
+            ops, a, b, uc, dim, interpret=interpret
+        )
+
+    def smooth(l, rl_c, x0_c=None):
+        if _canon_ok(l):
+            if dim == 3 and not st.canon_supported(
+                spatials[l], p, dim, cheb=True
+            ):
+                # apply-canon fits but the (bigger) fused-Chebyshev kernel
+                # doesn't: elementwise chain with the canonical apply
+                return chebyshev_apply(
+                    _A_canon(l), prec.inv_diags_canon[l], prec.thetas[l],
+                    prec.deltas[l], rl_c, x0=x0_c, degree=degree, batch=True,
+                )
+            return _chebyshev_canon(
+                gmg.level_ops[l], a, b, prec.inv_diags_canon[l],
+                prec.thetas[l], prec.deltas[l], rl_c, dim,
+                x0_c=x0_c, degree=degree, interpret=interpret,
+            )
+        # small level: compact classic smoothing (arrays are tiny here)
+        sp = spatials[l]
+        rl = st.unpad_canon(rl_c, sp, dim)
+        x0 = None if x0_c is None else st.unpad_canon(x0_c, sp, dim)
+        A = _make_A(gmg.level_ops[l], a, b, dim, "stencil", True)
+        x = chebyshev_apply(
+            A, prec.inv_diags[l], prec.thetas[l], prec.deltas[l], rl,
+            x0=x0, degree=degree, batch=True,
+        )
+        return st.pad_canon(x, sp, p, dim)
+
+    def residual(l, rl_c, x_c):
+        if _canon_ok(l):
+            return rl_c - _A_canon(l)(x_c)
+        sp = spatials[l]
+        rl = st.unpad_canon(rl_c, sp, dim)
+        x = st.unpad_canon(x_c, sp, dim)
+        A = _make_A(gmg.level_ops[l], a, b, dim, "stencil", True)
+        return st.pad_canon(rl - A(x), sp, p, dim)
+
+    def solve(l, rl_c):
+        if l == 0:
+            rl = st.unpad_canon(rl_c, spatials[0], dim)
+            x = _coarse_solve(prec, rl, dim, True)
+            return st.pad_canon(x, spatials[0], p, dim)
+        x = smooth(l, rl_c)
+        res = residual(l, rl_c, x)
+        mats_P, mats_R = _transfer_mats(l - 1)
+        rc = _apply_axes(mats_R, res)
+        xc = solve(l - 1, rc)
+        x = x + _apply_axes(mats_P, xc)
+        return smooth(l, rl_c, x0_c=x)
+
+    return solve(n_levels - 1, r_c)
 
 
 def _vcycle_padded(

@@ -9,6 +9,10 @@ Must be set before jax initializes a backend, hence module-level here.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# run every pallas kernel in interpret mode on the CPU backend so the
+# full pallas-mode solve paths (incl. the canonical-layout schemes) are
+# testable without a TPU (ops/pallas/stencil.py reads this at import)
+os.environ.setdefault("SPIRK_PALLAS_INTERPRET", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -303,3 +303,126 @@ def test_padded_apply_matches():
         out = unpad_field(outp, spatial, p, dim)
         want = apply_shifted_batched(ops, d, 0.3, W, dim, "stencil")
         np.testing.assert_allclose(out, want, atol=4e-5)
+
+
+# ---------------------------------------------------------------------------
+# zero-halo canonical layout
+# ---------------------------------------------------------------------------
+
+
+def test_canon_apply_matches_and_pads_zero():
+    """Canonical-layout fused apply equals the XLA path on the data block
+    and writes EXACT zeros in every pad position (the invariant that lets
+    whole solves stay in the layout without scrubs)."""
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    rng = np.random.default_rng(0)
+    for dim, p, ref in [(3, 1, 4), (3, 2, 4), (2, 1, 4), (2, 3, 3)]:
+        lev = make_level(ref, p)
+        sp = (lev.m,) * dim
+        assert st.canon_supported(sp, p, dim, cheb=True), (dim, p, lev.m)
+        ops = level_ops(lev, jnp.float32)
+        W = jnp.asarray(rng.standard_normal((3,) + sp), jnp.float32)
+        d = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+        Wc = st.pad_canon(W, sp, p, dim)
+        got = st.fused_stencil_apply_canon(ops, d, 0.37, Wc, dim, interpret=True)
+        want = apply_shifted_batched(ops, d, 0.37, W, dim, "stencil")
+        np.testing.assert_allclose(
+            st.unpad_canon(got, sp, dim), want,
+            atol=float(1e-4 * np.abs(want).max() + 1e-6),
+        )
+        mask = np.ones(got.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+        assert float(jnp.abs(jnp.where(mask, got, 0)).max()) == 0.0
+
+        gm, gk = st.fused_mass_stiffness_apply_canon(ops, Wc, dim, interpret=True)
+        from dealii_spirk_tpu.ops.mass_laplace import (
+            apply_mass_batched,
+            apply_stiffness_batched,
+        )
+        np.testing.assert_allclose(
+            st.unpad_canon(gm, sp, dim),
+            apply_mass_batched(ops, W, dim),
+            atol=2e-5,
+        )
+        kw = apply_stiffness_batched(ops, W, dim)
+        np.testing.assert_allclose(
+            st.unpad_canon(gk, sp, dim), kw,
+            atol=float(2e-5 * np.abs(kw).max() + 1e-6),
+        )
+        assert float(jnp.abs(jnp.where(mask, gm, 0)).max()) == 0.0
+        assert float(jnp.abs(jnp.where(mask, gk, 0)).max()) == 0.0
+
+
+def test_canon_cheb_iter_matches_elementwise():
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim, p, ref = 3, 1, 4
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(1)
+    q = 2
+    mk = lambda: jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    d0, r0, x0 = mk(), mk(), mk()
+    invd = jnp.asarray(
+        np.abs(rng.standard_normal((q,) + sp)) + 0.5, jnp.float32
+    )
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b, c1, c2 = 0.21, 0.7, 0.4
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    rn, dn, xn = st.fused_cheb_iter_canon(
+        ops, a, b, c1, c2, pc(d0), pc(r0), pc(x0), pc(invd), dim,
+        interpret=True,
+    )
+    Ad = apply_shifted_batched(ops, a, b, d0, dim, "stencil")
+    r_want = r0 - Ad
+    d_want = c1 * d0 + c2 * (invd * r_want)
+    x_want = x0 + d_want
+    for got, want in [(rn, r_want), (dn, d_want), (xn, x_want)]:
+        np.testing.assert_allclose(
+            st.unpad_canon(got, sp, dim), want, atol=5e-4
+        )
+        mask = np.ones(got.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+        assert float(jnp.abs(jnp.where(mask, got, 0)).max()) == 0.0
+
+
+def test_canon_vcycle_matches_classic():
+    from dealii_spirk_tpu.fem.grid import make_space
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+    from dealii_spirk_tpu.solvers.gmg import (
+        build_gmg_data,
+        gmg_reinit,
+        vcycle,
+        vcycle_canon,
+    )
+
+    for dim, pdeg, ref in [(3, 1, 5), (2, 1, 5)]:
+        space = make_space(dim, pdeg, ref)
+        gmg = build_gmg_data(space, dtype=jnp.float32, with_dense=False)
+        shifts = jnp.asarray([1.5, 4.0], jnp.float32)
+        prec = gmg_reinit(gmg, shifts, 0.1, dim, mode="stencil", batch=True)
+        prec_c = prec._replace(
+            inv_diags_canon=tuple(
+                st.pad_canon(invd, (ops.m,) * dim, pdeg, dim)
+                if st.canon_supported((ops.m,) * dim, pdeg, dim)
+                else None
+                for invd, ops in zip(prec.inv_diags, gmg.level_ops)
+            )
+        )
+        rng = np.random.default_rng(3)
+        r = jnp.asarray(rng.standard_normal((2,) + space.shape), jnp.float32)
+        out_cls = vcycle(gmg, prec, shifts, 0.1, r, dim, "stencil", batch=True)
+        r_c = st.pad_canon(r, space.shape, pdeg, dim)
+        out_c = vcycle_canon(
+            gmg, prec_c, shifts, 0.1, r_c, dim, interpret=True
+        )
+        got = st.unpad_canon(out_c, space.shape, dim)
+        rel = float(jnp.abs(got - out_cls).max() / jnp.abs(out_cls).max())
+        assert rel < 5e-5, (dim, pdeg, rel)
+        mask = np.ones(out_c.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in space.shape)] = False
+        assert float(jnp.abs(jnp.where(mask, out_c, 0)).max()) == 0.0
