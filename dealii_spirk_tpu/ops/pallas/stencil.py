@@ -1020,10 +1020,56 @@ def canon_shape(spatial, p: int, dim: int):
     return (_ceil(ny + p, 8), _ceil(nx + p, 128))
 
 
+def _canon_by_from_shape(shape_c, p: int, cheb: bool = False) -> int:
+    """y-block size from a CANONICAL (padded) 3D shape: 0 = whole-plane
+    kernel fits (preferred), by > 0 = canonical y-blocked variant, -1 =
+    unsupported."""
+    ny_p, nx_p = shape_c[-2], shape_c[-1]
+    bz = _BZ
+    plane = ny_p * nx_p * 4
+    blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if cheb else 0)
+    if plane * blocks <= 14 * 2**20:
+        return 0
+    for by in (256, 128, 64, 32, 16):
+        if by >= ny_p or ny_p % by:
+            continue
+        byw = by + 16  # 8-row halo groups both sides
+        floats = (2 * (bz + 2 * p) + 2 * bz) * byw * nx_p + (
+            8 + (6 if cheb else 0)
+        ) * bz * by * nx_p
+        if floats * 4 <= 14 * 2**20:
+            return by
+    return -1
+
+
+def _canon_by(u_c, p: int, dim: int, cheb: bool = False) -> int:
+    if dim != 3:
+        return 0
+    by = _canon_by_from_shape(u_c.shape, p, cheb=cheb)
+    if by < 0:
+        raise ValueError("canonical kernels unsupported at this size")
+    return by
+
+
+def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
+    """y-block size for the CANONICAL y-blocked kernels: 0 when the
+    whole-plane canonical kernel fits (preferred), else the largest
+    divisor of ny_p whose (z, y)-windowed working set fits scoped VMEM,
+    else -1 (canonical unsupported at this size).
+
+    The canonical y window carries a full 8-row sublane group of halo on
+    each side (data at dst offset 8) so every DMA slice is
+    sublane-aligned; boundary y blocks copy the in-bounds sub-window and
+    zero the halo rows in VMEM (same discipline as ``_slab_dma_canon``).
+    """
+    if dim != 3:
+        return 0
+    return _canon_by_from_shape(canon_shape(spatial, p, 3), p, cheb=cheb)
+
+
 def canon_supported(spatial, p: int, dim: int, cheb: bool = False) -> bool:
-    """True when the canonical-layout kernels can run at this size: the
-    clamped DMA window must fit the z extent and the whole-plane kernel
-    must fit scoped VMEM (y-blocked canonical variants: future work)."""
+    """True when the canonical-layout kernels can run at this size:
+    whole-plane (preferred) or the canonical y-blocked variant."""
     if not (1 <= p <= 4 and dim in (2, 3)):
         return False
     if dim == 2:
@@ -1033,7 +1079,7 @@ def canon_supported(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     bz = _BZ if nz >= _BZ else 8
     if _ceil(nz, bz) < 2 * bz:  # first/last DMA branches must be distinct
         return False
-    return kernel_vmem_fits(spatial, p, dim, cheb=cheb)
+    return canon_yb_for(spatial, p, dim, cheb=cheb) >= 0
 
 
 def pad_canon(u, spatial, p: int, dim: int):
@@ -1047,6 +1093,280 @@ def pad_canon(u, spatial, p: int, dim: int):
 
 def unpad_canon(u_c, spatial, dim: int):
     return u_c[(slice(None),) + tuple(slice(0, s) for s in spatial)]
+
+
+def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
+    """Double-buffered (z, y)-windowed DMA for the canonical y-blocked
+    kernels (zero-halo layout, grid (q, z-blocks, y-blocks)).
+
+    z handling mirrors ``_slab_dma_canon`` (first/mid/last branches); the
+    y window is ``[iy*by - 8, iy*by + by + 8)`` — full 8-row sublane
+    groups of halo so every slice offset/extent stays sublane-aligned —
+    with boundary blocks copying the in-bounds ``by + 8`` rows into the
+    right end of the scratch window.  Missing halo rows/planes are
+    zero-filled in VMEM; their couplings exit the domain so the standard
+    band tables weight them by zero anyway.  Data rows sit at scratch y
+    offset 8 (kernels slice ``[8 - p + k : 8 - p + k + by]``).
+    """
+    iq = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    nq = pl.num_programs(0)
+    # static block counts from the (static) operand shape — branches that
+    # cannot occur must be SKIPPED at trace time (their slice sizes may
+    # exceed the array when there are only first/last blocks)
+    nz_s = u_hbm.shape[1] // bz
+    ny_s = u_hbm.shape[2] // by
+    lastz = nz_s - 1
+    lasty = ny_s - 1
+    g = (iq * nz_s + iz) * ny_s + iy
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    # (cond(iz), src_z_start, z_size, dst_z_off) — z_size/dst static
+    def z_cases(iz_):
+        cases = [
+            (iz_ == 0, jnp.int32(0), bz + p, p),
+            (iz_ == lastz, lastz * bz - p, bz + p, 0),
+        ]
+        if nz_s > 2:
+            cases.append(
+                ((iz_ > 0) & (iz_ < lastz), iz_ * bz - p, bz + 2 * p, 0)
+            )
+        return cases
+
+    def y_cases(iy_):
+        cases = [
+            (iy_ == 0, jnp.int32(0), by + 8, 8),
+            (iy_ == lasty, lasty * by - 8, by + 8, 0),
+        ]
+        if ny_s > 2:
+            cases.append(
+                ((iy_ > 0) & (iy_ < lasty), iy_ * by - 8, by + 16, 0)
+            )
+        return cases
+
+    def for_each_case(iz_, iy_, fn):
+        for zc, zs, zn, zd in z_cases(iz_):
+            for yc, ys, yn, yd in y_cases(iy_):
+                fn(zc & yc, zs, zn, zd, ys, yn, yd)
+
+    def start_for(iq_, iz_, iy_, slot_):
+        def issue(cond, zs, zn, zd, ys, yn, yd):
+            @pl.when(cond)
+            def _():
+                pltpu.make_async_copy(
+                    u_hbm.at[iq_, pl.ds(zs, zn), pl.ds(ys, yn)],
+                    scratch.at[slot_, pl.ds(zd, zn), pl.ds(yd, yn)],
+                    sem.at[slot_],
+                ).start()
+
+        for_each_case(iz_, iy_, issue)
+
+    @pl.when(g == 0)
+    def _():
+        start_for(iq, iz, iy, slot)
+
+    carry_y = iy + 1 >= ny_s
+    niy = jnp.where(carry_y, 0, iy + 1)
+    carry_z = carry_y & (iz + 1 >= nz_s)
+    niz = jnp.where(carry_y, jnp.where(carry_z, 0, iz + 1), iz)
+    niq = jnp.where(carry_z, iq + 1, iq)
+
+    @pl.when(g + 1 < nq * nz_s * ny_s)
+    def _():
+        start_for(niq, niz, niy, nslot)
+
+    def wait(cond, zs, zn, zd, ys, yn, yd):
+        @pl.when(cond)
+        def _():
+            pltpu.make_async_copy(
+                u_hbm.at[iq, pl.ds(zs, zn), pl.ds(ys, yn)],
+                scratch.at[slot, pl.ds(zd, zn), pl.ds(yd, yn)],
+                sem.at[slot],
+            ).wait()
+
+    for_each_case(iz, iy, wait)
+
+    # zero the halo planes/rows the boundary copies didn't write
+    byw = by + 16
+    zeros_z = jnp.zeros((p, byw) + scratch.shape[3:], scratch.dtype)
+    zeros_y = jnp.zeros((bz + 2 * p, 8) + scratch.shape[3:], scratch.dtype)
+
+    @pl.when(iz == 0)
+    def _():
+        scratch[slot, pl.ds(0, p)] = zeros_z
+
+    @pl.when(iz == lastz)
+    def _():
+        scratch[slot, pl.ds(bz + p, p)] = zeros_z
+
+    @pl.when(iy == 0)
+    def _():
+        scratch[slot, :, pl.ds(0, 8)] = zeros_y
+
+    @pl.when(iy == lasty)
+    def _():
+        scratch[slot, :, pl.ds(by + 8, 8)] = zeros_y
+
+    return scratch.at[slot]
+
+
+def _slab_scratch_canon_yb(bz: int, p: int, by: int, nx_p: int):
+    return [
+        pltpu.VMEM((2, bz + 2 * p, by + 16, nx_p), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _yslice(E, k: int, p: int, by: int):
+    """Rows ``[8 - p + k, 8 - p + k + by)`` of a canonical-yb window via
+    roll + aligned slice (cheap sublane rotate; direct unaligned slices
+    cost sublane shifts)."""
+    return _roll(E, -(8 - p + k), 1)[:, :by, :]
+
+
+def _make_kernel_3d_canon_yb(p: int):
+    """Canonical y-blocked fused apply — zero-halo layout in AND out.
+    Same mathematics as ``_make_kernel_3d_yb``; windowing differs (see
+    ``_slab_dma_canon_yb``).  HIGHEST x dot (bf16 trips Mosaic on the
+    rolled/sliced operands, as in the classic yb kernels)."""
+    nb = 2 * p + 1
+
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
+        iq = pl.program_id(0)
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = out_ref.shape[1]
+        by = out_ref.shape[2]
+        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by)
+        a = w_ref[iq, 0]
+        b = w_ref[iq, 1]
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]  # (bz, by + 16, nx_p)
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        C = None
+        D = None
+        for k in range(nb):
+            sE = _yslice(E, k, p, by)
+            sF = _yslice(F, k, p, by)
+            wm = yb[:, k].reshape(1, by, 1)
+            ws = yb[:, nb + k].reshape(1, by, 1)
+            c_term = wm * sE + ws * sF
+            d_term = wm * sF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        out_ref[0] = _x_dot(
+            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
+            force_highest=True,
+        )
+
+    return kernel
+
+
+def _make_kernel_ms_3d_canon_yb(p: int):
+    nb = 2 * p + 1
+
+    def kernel(
+        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2, sem
+    ):
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = outm_ref.shape[1]
+        by = outm_ref.shape[2]
+        nx_p = outm_ref.shape[3]
+        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by)
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        Cm = None
+        Ck = None
+        for k in range(nb):
+            rm = _yslice(Zm, k, p, by)
+            rk = _yslice(Zk, k, p, by)
+            wm = yb[:, k].reshape(1, by, 1)
+            ws = yb[:, nb + k].reshape(1, by, 1)
+            cm_term = wm * rm
+            ck_term = wm * rk + ws * rm
+            Cm = cm_term if Cm is None else Cm + cm_term
+            Ck = ck_term if Ck is None else Ck + ck_term
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], force_highest=True)
+        outk_ref[0] = _x_dot(
+            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:],
+            force_highest=True,
+        )
+
+    return kernel
+
+
+def _make_kernel_cheb_3d_canon_yb(p: int):
+    nb = 2 * p + 1
+
+    def kernel(
+        w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
+        r_out, d_out, x_out, scratch2, sem,
+    ):
+        iq = pl.program_id(0)
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = r_out.shape[1]
+        by = r_out.shape[2]
+        scratch = _slab_dma_canon_yb(d_hbm, scratch2, sem, p, bz, by)
+        a = w_ref[iq, 0]
+        b = w_ref[iq, 1]
+        c1 = w_ref[iq, 2]
+        c2 = w_ref[iq, 3]
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = scratch[k : k + bz]
+            wm = zb[:, k].reshape(bz, 1, 1)
+            ws = zb[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        C = None
+        D = None
+        for k in range(nb):
+            sE = _yslice(E, k, p, by)
+            sF = _yslice(F, k, p, by)
+            wm = yb[:, k].reshape(1, by, 1)
+            ws = yb[:, nb + k].reshape(1, by, 1)
+            c_term = wm * sE + ws * sF
+            d_term = wm * sF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        Ad = _x_dot(
+            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
+            force_highest=True,
+        )
+        r_new = r_ref[0] - Ad
+        z = invd_ref[0] * r_new
+        d_new = c1 * scratch[p : p + bz, 8 : 8 + by] + c2 * z
+        r_out[0] = r_new
+        d_out[0] = d_new
+        x_out[0] = x_ref[0] + d_new
+
+    return kernel
 
 
 def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
@@ -1068,13 +1388,37 @@ def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
     return None, _band_table(ops, shape_c[1]), xmat
 
 
-@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret", "x_roll"))
-def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
+@functools.partial(
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+)
+def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
+                       by=0):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
         q = u_c.shape[0]
         nx_p = u_c.shape[-1]
+        if dim == 3 and by:
+            nzp, ny_p = u_c.shape[1], u_c.shape[2]
+            bz = _BZ
+            return pl.pallas_call(
+                _make_kernel_3d_canon_yb(p),
+                grid=(q, nzp // bz, ny_p // by),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, bz, by, nx_p),
+                    lambda iq, iz, iy: _i32(iq, iz, iy, 0),
+                ),
+                out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                interpret=interpret,
+            )(w, zb, yb, xmat, u_c)
         if dim == 3:
             nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
@@ -1113,7 +1457,8 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
 
 
 def fused_stencil_apply_canon(
-    ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False
+    ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False,
+    force_yb: int = 0,
 ):
     """(a M + b K) on a canonical-layout stage block — ONE HBM round trip,
     pads in == zero implies pads out == zero (no scrubs)."""
@@ -1123,21 +1468,46 @@ def fused_stencil_apply_canon(
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
-    x_roll = _x_roll_ok(p, dim, u_c.shape[-1])
+    by = force_yb or _canon_by(u_c, p, dim)
+    x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
     zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
     return _fused_apply_canon(
-        w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+        w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
+        x_roll=x_roll, by=by,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("p", "dim", "interpret", "x_roll"))
-def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
+@functools.partial(
+    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+)
+def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
+                          by=0):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
         q = u_c.shape[0]
         nx_p = u_c.shape[-1]
         shape = jax.ShapeDtypeStruct(u_c.shape, jnp.float32)
+        if dim == 3 and by:
+            nzp, ny_p = u_c.shape[1], u_c.shape[2]
+            bz = _BZ
+            spec = pl.BlockSpec(
+                (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+            )
+            return pl.pallas_call(
+                _make_kernel_ms_3d_canon_yb(p),
+                grid=(q, nzp // bz, ny_p // by),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=(spec, spec),
+                out_shape=(shape, shape),
+                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                interpret=interpret,
+            )(zb, yb, xmat, u_c)
         if dim == 3:
             nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
@@ -1175,21 +1545,24 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll):
 
 
 def fused_mass_stiffness_apply_canon(
-    ops: LevelOps, u_c, dim: int, *, interpret: bool = False
+    ops: LevelOps, u_c, dim: int, *, interpret: bool = False,
+    force_yb: int = 0,
 ):
     """(M u, K u) on a canonical-layout stage block, one HBM pass."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
-    x_roll = _x_roll_ok(p, dim, u_c.shape[-1])
+    by = force_yb or _canon_by(u_c, p, dim)
+    x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
     zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
     return _fused_ms_apply_canon(
-        zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret, x_roll=x_roll
+        zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
+        x_roll=x_roll, by=by,
     )
 
 
 def fused_cheb_iter_canon(
     ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
-    *, interpret: bool = False,
+    *, interpret: bool = False, force_yb: int = 0,
 ):
     """One fused Chebyshev iteration on canonical-layout stage blocks
     (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
@@ -1202,17 +1575,20 @@ def fused_cheb_iter_canon(
         jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
     )
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
-    x_roll = _x_roll_ok(p, dim, d_c.shape[-1])
+    by = force_yb or _canon_by(d_c, p, dim, cheb=True)
+    x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
     zb, yb, xmat = _tables_canon(ops, d_c.shape, p, dim, x_roll)
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
-        interpret=interpret, x_roll=x_roll,
+        interpret=interpret, x_roll=x_roll, by=by,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret", "x_roll"))
+@functools.partial(
+    jax.jit, static_argnames=("p", "interpret", "x_roll", "by")
+)
 def _fused_cheb_canon(
-    w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll
+    w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll, by=0
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -1220,6 +1596,28 @@ def _fused_cheb_canon(
         q, nzp, ny_p, nx_p = d_c.shape
         bz = _BZ
         shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        if by:
+            blocked = pl.BlockSpec(
+                (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+            )
+            return pl.pallas_call(
+                _make_kernel_cheb_3d_canon_yb(p),
+                grid=(q, nzp // bz, ny_p // by),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    blocked,
+                    blocked,
+                    blocked,
+                ],
+                out_specs=(blocked, blocked, blocked),
+                out_shape=(shape, shape, shape),
+                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                interpret=interpret,
+            )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
         blocked = pl.BlockSpec(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )

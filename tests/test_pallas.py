@@ -426,3 +426,46 @@ def test_canon_vcycle_matches_classic():
         mask = np.ones(out_c.shape, bool)
         mask[(slice(None),) + tuple(slice(0, s) for s in space.shape)] = False
         assert float(jnp.abs(jnp.where(mask, out_c, 0)).max()) == 0.0
+
+
+@pytest.mark.parametrize("p,ref,by", [(1, 4, 8), (2, 4, 8), (1, 5, 8)])
+def test_canon_yb_kernels_match(p, ref, by):
+    """Canonical y-blocked kernels (m >= 255 path: zero-halo layout with
+    (z, y)-windowed boundary-branch DMAs) match the XLA path and keep
+    pads exactly zero — forced y-blocking on small grids."""
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    lev = make_level(ref, p)
+    sp = (lev.m,) * 3
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(0)
+    q = 2
+    W = jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    d = jnp.asarray(rng.standard_normal(q), jnp.float32)
+    Wc = st.pad_canon(W, sp, p, 3)
+    got = st.fused_stencil_apply_canon(
+        ops, d, 0.37, Wc, 3, interpret=True, force_yb=by
+    )
+    want = apply_shifted_batched(ops, d, 0.37, W, 3, "stencil")
+    np.testing.assert_allclose(
+        st.unpad_canon(got, sp, 3), want,
+        atol=float(1e-4 * np.abs(want).max() + 1e-6),
+    )
+    mask = np.ones(got.shape, bool)
+    mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+    assert float(jnp.abs(jnp.where(mask, got, 0)).max()) == 0.0
+
+    rn, dn, xn = st.fused_cheb_iter_canon(
+        ops, d, 0.21, 0.7, 0.4, Wc, Wc, Wc, Wc, 3,
+        interpret=True, force_yb=by,
+    )
+    Ad = apply_shifted_batched(ops, d, 0.21, W, 3, "stencil")
+    r_want = W - Ad
+    d_want = 0.7 * W + 0.4 * (W * r_want)
+    for got2, want2 in [(rn, r_want), (dn, d_want), (xn, W + d_want)]:
+        np.testing.assert_allclose(
+            st.unpad_canon(got2, sp, 3), want2,
+            atol=float(5e-3 * np.abs(want2).max() + 1e-5),
+        )
+        assert float(jnp.abs(jnp.where(mask, got2, 0)).max()) == 0.0
