@@ -1067,6 +1067,19 @@ def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
     return _canon_by_from_shape(canon_shape(spatial, p, 3), p, cheb=cheb)
 
 
+def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.3) -> bool:
+    """Whether keeping a whole solve in the canonical layout pays off:
+    the aligned shape must be near-tight.  At e.g. p=2, m=127 the lane
+    extent pads 129 -> 256, inflating EVERY solver op by ~2.2x — far more
+    than the two HBM passes per apply the layout saves (measured 282
+    ms/step vs the compact path's ~60 at that size)."""
+    cs = canon_shape(spatial, p, dim)
+    infl = 1.0
+    for c, s in zip(cs, spatial):
+        infl *= c / s
+    return infl <= limit
+
+
 def canon_supported(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     """True when the canonical-layout kernels can run at this size:
     whole-plane (preferred) or the canonical y-blocked variant."""

@@ -86,6 +86,7 @@ class ComplexIRK(SchemeBase):
             and mesh is None
             and self.dtype == jnp.float32
             and st.canon_supported(spatial, p_deg, dim)
+            and st.canon_worthwhile(spatial, p_deg, dim)
         )
         self.use_canon = use_canon
 

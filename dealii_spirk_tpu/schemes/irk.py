@@ -111,6 +111,7 @@ class IRK(SchemeBase):
             and self.dtype == jnp.float32
             and q >= 2
             and st.canon_supported(spatial, p_deg, dim)
+            and st.canon_worthwhile(spatial, p_deg, dim)
         )
         self.use_canon = use_canon
 

@@ -227,12 +227,14 @@ def gmg_reinit(
                 st.pad_field(invd, (ops.m,) * dim, p, dim)
                 for invd, ops in zip(inv_diags, gmg.level_ops)
             )
-        inv_diags_canon = tuple(
-            st.pad_canon(invd, (ops.m,) * dim, p, dim)
-            if st.canon_supported((ops.m,) * dim, p, dim)
-            else None
-            for invd, ops in zip(inv_diags, gmg.level_ops)
-        )
+        fine_sp = (gmg.level_ops[-1].m,) * dim
+        if st.canon_worthwhile(fine_sp, p, dim):
+            inv_diags_canon = tuple(
+                st.pad_canon(invd, (ops.m,) * dim, p, dim)
+                if st.canon_supported((ops.m,) * dim, p, dim)
+                else None
+                for invd, ops in zip(inv_diags, gmg.level_ops)
+            )
 
     return GMGPrec(
         inv_diags=tuple(inv_diags),
