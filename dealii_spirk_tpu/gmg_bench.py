@@ -102,13 +102,37 @@ def _bench_mode(
 
     if batch:
         from .ops.mass_laplace import apply_shifted_batched
+        from .ops.pallas import stencil as stc
 
-        A = lambda W: constrain(
-            apply_shifted_batched(fine, shifts, b, constrain(W), dim, mode)
+        p_deg = (fine.mass_band.shape[0] - 1) // 2
+        use_canon = (
+            mode == "pallas"
+            and not sharded
+            and dtype == jnp.float32
+            and stc.canon_supported(space.shape, p_deg, dim)
+            and stc.canon_worthwhile(space.shape, p_deg, dim)
+            and prec.inv_diags_canon is not None
         )
-        M = lambda r: constrain(
-            vcycle(gmg, prec, shifts, b, constrain(r), dim, mode, batch=True)
-        )
+        if use_canon:
+            # whole CG in the zero-halo canonical layout (schemes/irk.py)
+            from .solvers.gmg import vcycle_canon
+
+            rhs = stc.pad_canon(rhs, space.shape, p_deg, dim)
+            A = lambda W: stc.fused_stencil_apply_canon(
+                fine, shifts, b, W, dim
+            )
+            M = lambda r: vcycle_canon(gmg, prec, shifts, b, r, dim)
+        else:
+            A = lambda W: constrain(
+                apply_shifted_batched(
+                    fine, shifts, b, constrain(W), dim, mode
+                )
+            )
+            M = lambda r: constrain(
+                vcycle(
+                    gmg, prec, shifts, b, constrain(r), dim, mode, batch=True
+                )
+            )
     else:
         A = lambda w: apply_shifted(fine, a, b, w, dim, mode)
         M = lambda r: vcycle(gmg, prec, a, b, r, dim, mode)

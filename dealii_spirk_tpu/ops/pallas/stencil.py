@@ -1068,11 +1068,20 @@ def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
 
 
 def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.3) -> bool:
-    """Whether keeping a whole solve in the canonical layout pays off:
-    the aligned shape must be near-tight.  At e.g. p=2, m=127 the lane
-    extent pads 129 -> 256, inflating EVERY solver op by ~2.2x — far more
-    than the two HBM passes per apply the layout saves (measured 282
-    ms/step vs the compact path's ~60 at that size)."""
+    """Whether keeping a whole solve in the canonical layout pays off.
+
+    Two regimes (both measured on v5e):
+
+    * bandwidth-bound (large fields): the aligned shape must be
+      near-tight — at p=2, m=127 the lane extent pads 129 -> 256,
+      inflating EVERY solver op ~2.2x, far more than the two HBM passes
+      per apply the layout saves (282 ms/step canon vs ~60 compact);
+    * launch/latency-bound (small fields, <= ~1M pts/stage): op COUNT
+      dominates, so removing the pad/slice ops wins regardless of
+      inflation (re=6: 25 ms/step canon vs 135 compact).
+    """
+    if int(np.prod(spatial)) <= 1_000_000:
+        return True
     cs = canon_shape(spatial, p, dim)
     infl = 1.0
     for c, s in zip(cs, spatial):

@@ -207,6 +207,15 @@ def test_canon_solve_matches_stencil_counts_and_errors():
         "Precision": "f32",
         "BlockPreconditionerType": "GMG",
     }
+    # the canonical layout must actually engage (guards against the
+    # worthwhile-gate silently disabling it and this test passing
+    # vacuously)
+    from dealii_spirk_tpu.problem import HeatProblem
+    from dealii_spirk_tpu.schemes import make_scheme
+
+    prm = Parameters.from_dict({**base, "OperatorMode": "pallas"}, dim=3)
+    assert make_scheme(HeatProblem(prm), prm).use_canon
+
     outs = {}
     for om in ("stencil", "pallas"):
         outs[om] = run_config(
