@@ -906,6 +906,16 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
 
 def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
             by: int = 0):
+    return _table_cache_get(
+        "classic",
+        ops,
+        (tuple(u.shape), p, dim, x_roll, by),
+        lambda: _tables_build(ops, u, p, dim, x_roll, by),
+    )
+
+
+def _tables_build(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
+                  by: int = 0):
     nx_p = _ceil(u.shape[-1] + p, 128)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -1070,17 +1080,16 @@ def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
 def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.3) -> bool:
     """Whether keeping a whole solve in the canonical layout pays off.
 
-    Two regimes (both measured on v5e):
+    The aligned shape must be near-tight: at p=2, m=127 the lane extent
+    pads 129 -> 256, inflating EVERY solver op ~2.2x — more than the two
+    HBM passes per apply the layout saves.  Measured on v5e (hw_sweep):
+    ref6 (m=63, 2x lane inflation) classic ~14-22 ms/step vs canon
+    ~25 ms; ref7 (m=127, 2.4% inflation) canon 33 ms vs classic 57.
 
-    * bandwidth-bound (large fields): the aligned shape must be
-      near-tight — at p=2, m=127 the lane extent pads 129 -> 256,
-      inflating EVERY solver op ~2.2x, far more than the two HBM passes
-      per apply the layout saves (282 ms/step canon vs ~60 compact);
-    * launch/latency-bound (small fields, <= ~1M pts/stage): op COUNT
-      dominates, so removing the pad/slice ops wins regardless of
-      inflation (re=6: 25 ms/step canon vs 135 compact).
+    ``SPIRK_FORCE_CANON=1`` overrides to True — used by the CPU test
+    suite to exercise the canonical solve paths on small grids.
     """
-    if int(np.prod(spatial)) <= 1_000_000:
+    if _os.environ.get("SPIRK_FORCE_CANON", "0") == "1":
         return True
     cs = canon_shape(spatial, p, dim)
     infl = 1.0
@@ -1391,7 +1400,39 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
     return kernel
 
 
+# Table arrays are trace-time constants; rebuilding them per call site
+# embeds a FRESH copy of each dense literal in the program at every
+# kernel invocation (measured: the refinement-8 solve program carried
+# ~300 duplicated 64-256 KB constants — >100 MB of IR, rejected by the
+# remote compiler with HTTP 413).  Caching returns the SAME jnp arrays,
+# which JAX deduplicates into one hoisted constant per program.  Values
+# keep strong references to the key arrays so ids cannot be reused.
+_TABLE_CACHE: dict = {}
+
+
+def _table_cache_get(kind, ops: LevelOps, extra, builder):
+    key = (kind, id(ops.mass_band), id(ops.stiff_band), extra)
+    hit = _TABLE_CACHE.get(key)
+    if hit is None:
+        # tables must be CONCRETE arrays: built under an ambient trace
+        # they would be tracers, and a cached tracer escapes its trace
+        with jax.ensure_compile_time_eval():
+            hit = (ops.mass_band, ops.stiff_band, builder())
+        _TABLE_CACHE[key] = hit
+    return hit[2]
+
+
 def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
+    return _table_cache_get(
+        "canon",
+        ops,
+        (tuple(shape_c), p, dim, x_roll),
+        lambda: _tables_canon_build(ops, shape_c, p, dim, x_roll),
+    )
+
+
+def _tables_canon_build(ops: LevelOps, shape_c, p: int, dim: int,
+                        x_roll: bool):
     nx_p = shape_c[-1]
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -1792,23 +1833,33 @@ def fused_stencil_apply_padded(
     w = jnp.stack([a_arr, b_arr], axis=1)
     nx_p = u_pad.shape[-1]
     x_roll = _x_roll_ok(p, dim, nx_p)
-    if x_roll:
-        xmat = _band_table_x(ops, nx_p)
-    else:
-        xmat = jnp.concatenate(
-            [
-                _dense_padded(ops.mass_band, nx_p).T,
-                _dense_padded(ops.stiff_band, nx_p).T,
-            ],
-            axis=0,
-        )
-    if dim == 3:
-        bz = _BZ if spatial[0] >= _BZ else 8
-        zb = _band_table(ops, u_pad.shape[1] - 2 * bz)
-        yb = _band_table(ops, u_pad.shape[2])
-    else:
-        zb = None
-        yb = _band_table(ops, u_pad.shape[1])
+
+    def _build_padded_tables():
+        if x_roll:
+            xmat = _band_table_x(ops, nx_p)
+        else:
+            xmat = jnp.concatenate(
+                [
+                    _dense_padded(ops.mass_band, nx_p).T,
+                    _dense_padded(ops.stiff_band, nx_p).T,
+                ],
+                axis=0,
+            )
+        if dim == 3:
+            bz_ = _BZ if spatial[0] >= _BZ else 8
+            return (
+                _band_table(ops, u_pad.shape[1] - 2 * bz_),
+                _band_table(ops, u_pad.shape[2]),
+                xmat,
+            )
+        return None, _band_table(ops, u_pad.shape[1]), xmat
+
+    zb, yb, xmat = _table_cache_get(
+        "padded",
+        ops,
+        (tuple(u_pad.shape), tuple(spatial), p, dim, x_roll),
+        _build_padded_tables,
+    )
     return _fused_apply_padded(
         w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
         interpret=interpret, x_roll=x_roll,
@@ -1909,21 +1960,29 @@ def fused_cheb_iter_padded(
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     nx_p = d_pad.shape[-1]
     x_roll = _x_roll_ok(p, dim, nx_p)
-    if x_roll:
-        xmat = _band_table_x(ops, nx_p)
-    else:
-        xmat = jnp.concatenate(
-            [
-                _dense_padded(ops.mass_band, nx_p).T,
-                _dense_padded(ops.stiff_band, nx_p).T,
-            ],
-            axis=0,
-        )
     bz = _BZ if spatial[0] >= _BZ else 8
     nzp = d_pad.shape[1] - 2 * bz
     ny_p = d_pad.shape[2]
-    zb = _band_table(ops, nzp)
-    yb = _band_table(ops, ny_p)
+
+    def _build_cheb_tables():
+        if x_roll:
+            xmat = _band_table_x(ops, nx_p)
+        else:
+            xmat = jnp.concatenate(
+                [
+                    _dense_padded(ops.mass_band, nx_p).T,
+                    _dense_padded(ops.stiff_band, nx_p).T,
+                ],
+                axis=0,
+            )
+        return _band_table(ops, nzp), _band_table(ops, ny_p), xmat
+
+    zb, yb, xmat = _table_cache_get(
+        "padded-cheb",
+        ops,
+        (tuple(d_pad.shape), tuple(spatial), p, dim, x_roll),
+        _build_cheb_tables,
+    )
 
     from jax._src.config import enable_x64 as _scoped_x64
 

@@ -374,7 +374,9 @@ def _chebyshev_padded(
     x = x + d
     sigma = theta / delta
     rho = 1.0 / sigma
-    for _ in range(degree - 1):
+
+    def body(_k, state):
+        rr, d, x, rho = state
         rho_new = 1.0 / (2.0 * sigma - rho)
         c1 = rho_new * rho
         c2 = 2.0 * rho_new / delta
@@ -382,7 +384,11 @@ def _chebyshev_padded(
             ops, a, b, c1, c2, d, rr, x, invd_pad, spatial, dim,
             interpret=interpret,
         )
-        rho = rho_new
+        return rr, d, x, rho_new
+
+    from jax import lax
+
+    _rr, _d, x, _rho = lax.fori_loop(0, degree - 1, body, (rr, d, x, rho))
     return x
 
 
@@ -420,14 +426,25 @@ def _chebyshev_canon(
     x = x + d
     sigma = theta / delta
     rho = 1.0 / sigma
-    for _ in range(degree - 1):
+
+    # fori_loop: ONE kernel call site in the program (an unrolled python
+    # loop embeds degree-1 copies of the kernel and its tables — at
+    # refinement 8 the duplicated IR broke the remote compiler's size cap)
+    def body(_k, state):
+        rr, d, x, rho = state
         rho_new = 1.0 / (2.0 * sigma - rho)
         c1 = rho_new * rho
         c2 = 2.0 * rho_new / delta
         rr, d, x = st.fused_cheb_iter_canon(
             ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret
         )
-        rho = rho_new
+        return rr, d, x, rho_new
+
+    from jax import lax
+
+    _rr, _d, x, _rho = lax.fori_loop(
+        0, degree - 1, body, (rr, d, x, rho)
+    )
     return x
 
 

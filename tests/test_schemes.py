@@ -186,11 +186,14 @@ def test_spatial_convergence_p2():
     assert e[1] / e[2] > 5.0, e
 
 
-def test_canon_solve_matches_stencil_counts_and_errors():
+def test_canon_solve_matches_stencil_counts_and_errors(monkeypatch):
     """The canonical-layout pallas solve (schemes/irk.py use_canon) is a
     drop-in: identical outer/inner iteration counts and matching errors
     vs the compact stencil execution of the same scheme (pads are exactly
-    zero, so every Krylov dot/norm is unchanged)."""
+    zero, so every Krylov dot/norm is unchanged).  SPIRK_FORCE_CANON
+    engages the layout on this small grid (production gates it to
+    near-tight aligned shapes)."""
+    monkeypatch.setenv("SPIRK_FORCE_CANON", "1")
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.runner import run_config
 
@@ -229,7 +232,8 @@ def test_canon_solve_matches_stencil_counts_and_errors():
     assert p["n_inner"] == s["n_inner"]
 
 
-def test_canon_complex_solve_matches_stencil_counts():
+def test_canon_complex_solve_matches_stencil_counts(monkeypatch):
+    monkeypatch.setenv("SPIRK_FORCE_CANON", "1")
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.runner import run_config
 
