@@ -59,45 +59,52 @@ def fused_stencil_supported(degree: int, dim: int, dtype) -> bool:
 
 
 def _dense_padded(band, n_pad: int):
-    """Dense (n_pad, n_pad) 1D operator from its band (zero-padded).
-
-    ``band`` must be concrete (LevelOps arrays are trace-time constants).
-    """
-    from ...fem.assembly import band_to_dense
-
-    A = band_to_dense(np.asarray(band))
-    m = A.shape[0]
-    out = np.zeros((n_pad, n_pad), np.float32)
-    out[:m, :m] = A
-    return jnp.asarray(out)
+    """Dense (n_pad, n_pad) 1D operator from its (2p+1, m) band,
+    zero-padded — built IN-GRAPH with .at scatters so only the tiny band
+    constant lands in the program.  A concrete dense literal here gets
+    re-embedded in every XLA computation that uses it (while bodies,
+    branches): at refinement 8 the (512, 256) dual table appeared 12+
+    times = ~7 MB of duplicated literals, blowing the remote compiler's
+    request cap (HTTP 413).  XLA CSE + while-loop LICM hoist the cheap
+    construction."""
+    band = jnp.asarray(band, jnp.float32)
+    nb, m = band.shape
+    p = (nb - 1) // 2
+    out = jnp.zeros((n_pad, n_pad), jnp.float32)
+    for k in range(-p, p + 1):
+        i0 = max(0, -k)
+        i1 = min(m, m - k)
+        rows = np.arange(i0, i1)
+        out = out.at[rows, rows + k].set(band[p + k, i0:i1])
+    return out
 
 
 def _band_table(ops: LevelOps, n_rows: int):
     """(n_rows, >=128) band table: per-row weights for the mass (columns
     0..2p) and stiffness (columns 2p+1..4p+1) bands, zero beyond the m
-    physical rows; lane extent padded to 128."""
-    mb = np.asarray(ops.mass_band)
-    kb = np.asarray(ops.stiff_band)
-    nb = mb.shape[0]
-    m = mb.shape[1]
-    tab = np.zeros((max(_ceil(n_rows, 8), 8), _ceil(2 * nb, 128)), np.float32)
-    tab[:m, :nb] = mb.T
-    tab[:m, nb : 2 * nb] = kb.T
-    return jnp.asarray(tab)
+    physical rows; lane extent padded to 128.  Built in-graph (see
+    ``_dense_padded``)."""
+    mb = jnp.asarray(ops.mass_band, jnp.float32)
+    kb = jnp.asarray(ops.stiff_band, jnp.float32)
+    nb, m = mb.shape
+    tab = jnp.zeros(
+        (max(_ceil(n_rows, 8), 8), _ceil(2 * nb, 128)), jnp.float32
+    )
+    tab = tab.at[:m, :nb].set(mb.T)
+    return tab.at[:m, nb : 2 * nb].set(kb.T)
 
 
 def _band_table_x(ops: LevelOps, n_cols: int):
     """x-direction band table (>=8, n_cols): row k = mass-band diagonal k,
     row nb+k = stiffness; columns are lane positions, zero beyond the m
-    physical columns.  Used by the lane-roll x-contraction (``x_roll``)."""
-    mb = np.asarray(ops.mass_band)
-    kb = np.asarray(ops.stiff_band)
-    nb = mb.shape[0]
-    m = mb.shape[1]
-    tab = np.zeros((max(_ceil(2 * nb, 8), 8), n_cols), np.float32)
-    tab[:nb, :m] = mb
-    tab[nb : 2 * nb, :m] = kb
-    return jnp.asarray(tab)
+    physical columns.  Used by the lane-roll x-contraction (``x_roll``).
+    Built in-graph (see ``_dense_padded``)."""
+    mb = jnp.asarray(ops.mass_band, jnp.float32)
+    kb = jnp.asarray(ops.stiff_band, jnp.float32)
+    nb, m = mb.shape
+    tab = jnp.zeros((max(_ceil(2 * nb, 8), 8), n_cols), jnp.float32)
+    tab = tab.at[:nb, :m].set(mb)
+    return tab.at[nb : 2 * nb, :m].set(kb)
 
 
 def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
@@ -1030,14 +1037,21 @@ def canon_shape(spatial, p: int, dim: int):
     return (_ceil(ny + p, 8), _ceil(nx + p, 128))
 
 
-def _canon_by_from_shape(shape_c, p: int, cheb: bool = False) -> int:
+# extra pipelined/intermediate block budget per kernel kind, in units of
+# bz*by*nx_p floats: the ms kernel double-buffers TWO blocked outputs
+# (measured 292 KB over the 16 MB cap at by=128/m=255 without this), the
+# cheb kernel three blocked inputs AND three outputs
+_CANON_KIND_EXTRA = {"apply": 0, "ms": 4, "cheb": 6}
+
+
+def _canon_by_from_shape(shape_c, p: int, kind: str = "apply") -> int:
     """y-block size from a CANONICAL (padded) 3D shape: 0 = whole-plane
     kernel fits (preferred), by > 0 = canonical y-blocked variant, -1 =
     unsupported."""
     ny_p, nx_p = shape_c[-2], shape_c[-1]
     bz = _BZ
     plane = ny_p * nx_p * 4
-    blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if cheb else 0)
+    blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if kind == "cheb" else 0)
     if plane * blocks <= 14 * 2**20:
         return 0
     for by in (256, 128, 64, 32, 16):
@@ -1045,17 +1059,17 @@ def _canon_by_from_shape(shape_c, p: int, cheb: bool = False) -> int:
             continue
         byw = by + 16  # 8-row halo groups both sides
         floats = (2 * (bz + 2 * p) + 2 * bz) * byw * nx_p + (
-            8 + (6 if cheb else 0)
+            8 + _CANON_KIND_EXTRA[kind]
         ) * bz * by * nx_p
         if floats * 4 <= 14 * 2**20:
             return by
     return -1
 
 
-def _canon_by(u_c, p: int, dim: int, cheb: bool = False) -> int:
+def _canon_by(u_c, p: int, dim: int, kind: str = "apply") -> int:
     if dim != 3:
         return 0
-    by = _canon_by_from_shape(u_c.shape, p, cheb=cheb)
+    by = _canon_by_from_shape(u_c.shape, p, kind=kind)
     if by < 0:
         raise ValueError("canonical kernels unsupported at this size")
     return by
@@ -1074,7 +1088,9 @@ def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
     """
     if dim != 3:
         return 0
-    return _canon_by_from_shape(canon_shape(spatial, p, 3), p, cheb=cheb)
+    return _canon_by_from_shape(
+        canon_shape(spatial, p, 3), p, kind="cheb" if cheb else "apply"
+    )
 
 
 def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.3) -> bool:
@@ -1172,8 +1188,16 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
             (iy_ == lasty, lasty * by - 8, by + 8, 0),
         ]
         if ny_s > 2:
+            # start written as 8 * k so Mosaic's tile-divisibility prover
+            # (sublane tiling 8) accepts the traced offset — the
+            # equivalent ``iy * by - 8`` fails to prove on v5e
             cases.append(
-                ((iy_ > 0) & (iy_ < lasty), iy_ * by - 8, by + 16, 0)
+                (
+                    (iy_ > 0) & (iy_ < lasty),
+                    8 * (iy_ * (by // 8) - 1),
+                    by + 16,
+                    0,
+                )
             )
         return cases
 
@@ -1392,7 +1416,10 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
         )
         r_new = r_ref[0] - Ad
         z = invd_ref[0] * r_new
-        d_new = c1 * scratch[p : p + bz, 8 : 8 + by] + c2 * z
+        # value-level y slice (offset 8 is sublane-aligned); a 2-D Ref
+        # slice here failed Mosaic's tile-divisibility prover on v5e
+        dblk = scratch[p : p + bz][:, 8 : 8 + by, :]
+        d_new = c1 * dblk + c2 * z
         r_out[0] = r_new
         d_out[0] = d_new
         x_out[0] = x_ref[0] + d_new
@@ -1400,26 +1427,18 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
     return kernel
 
 
-# Table arrays are trace-time constants; rebuilding them per call site
-# embeds a FRESH copy of each dense literal in the program at every
-# kernel invocation (measured: the refinement-8 solve program carried
-# ~300 duplicated 64-256 KB constants — >100 MB of IR, rejected by the
-# remote compiler with HTTP 413).  Caching returns the SAME jnp arrays,
-# which JAX deduplicates into one hoisted constant per program.  Values
-# keep strong references to the key arrays so ids cannot be reused.
-_TABLE_CACHE: dict = {}
+# Tables are built IN-GRAPH from the small band constants (see
+# ``_dense_padded``): only ~KB-scale band literals land in the program,
+# XLA CSE merges repeated construction within a computation and
+# while-loop LICM hoists it out of Krylov loops.  (A concrete-literal
+# cache was tried first: JAX dedupes identical constants within one
+# computation, but XLA re-embeds them in every called computation — the
+# refinement-8 solve still carried 12+ copies of the 524 KB dual x
+# table.)
 
 
 def _table_cache_get(kind, ops: LevelOps, extra, builder):
-    key = (kind, id(ops.mass_band), id(ops.stiff_band), extra)
-    hit = _TABLE_CACHE.get(key)
-    if hit is None:
-        # tables must be CONCRETE arrays: built under an ambient trace
-        # they would be tracers, and a cached tracer escapes its trace
-        with jax.ensure_compile_time_eval():
-            hit = (ops.mass_band, ops.stiff_band, builder())
-        _TABLE_CACHE[key] = hit
-    return hit[2]
+    return builder()
 
 
 def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
@@ -1614,7 +1633,7 @@ def fused_mass_stiffness_apply_canon(
     """(M u, K u) on a canonical-layout stage block, one HBM pass."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
-    by = force_yb or _canon_by(u_c, p, dim)
+    by = force_yb or _canon_by(u_c, p, dim, kind="ms")
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
     zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
     return _fused_ms_apply_canon(
@@ -1638,7 +1657,7 @@ def fused_cheb_iter_canon(
         jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
     )
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
-    by = force_yb or _canon_by(d_c, p, dim, cheb=True)
+    by = force_yb or _canon_by(d_c, p, dim, kind="cheb")
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
     zb, yb, xmat = _tables_canon(ops, d_c.shape, p, dim, x_roll)
     return _fused_cheb_canon(

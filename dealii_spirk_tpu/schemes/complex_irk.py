@@ -149,6 +149,37 @@ class ComplexIRK(SchemeBase):
             )
             return res.x, res.n_iterations
 
+        # explicit-args jitted Aop/Mop: one shared lowered computation
+        # across gmres's structural call sites (see schemes/irk.py)
+        def raw_Aop(Zv, tau):
+            return shard(complex_b(d_re2, d_im2, shard(Zv), tau))
+
+        aop_jit = jax.jit(raw_Aop)
+
+        if batched:
+
+            def raw_Mop(v, carry, tau, prec):
+                vv = v.reshape((n2 * 2,) + v.shape[2:])
+                out = _vc(prec, jnp.repeat(shifts, 2), tau, vv)
+                return shard(out.reshape(v.shape)), carry + 1
+
+        else:
+
+            def raw_Mop(v, carry, tau, prec):
+                """PRESB (reference main.cc:2284-2335):
+                x0 ~ (S)^{-1}(v_re + v_im);  S = (l_re + l_im) M + tau K
+                x1 ~ (S)^{-1}(v_im - l_im M x0);  out = (x0 - x1, x1)."""
+                v = shard(v)
+                t0 = v[:, 0] + v[:, 1]
+                x0, c0 = inner_solve(t0, prec, tau)
+                lam = d_im2.reshape((n2,) + (1,) * dim)
+                t1 = v[:, 1] - lam * mass_b(x0)
+                x1, c1 = inner_solve(t1, prec, tau)
+                out = jnp.stack([x0 - x1, x1], axis=1)
+                return shard(out), carry + jnp.stack([c0, c1], axis=1)
+
+        mop_jit = jax.jit(raw_Mop)
+
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
                 W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
@@ -159,33 +190,9 @@ class ComplexIRK(SchemeBase):
             )  # (n2, 2, *spatial)
             Z = shard(Z)
 
-            def Aop(Zv):
-                return shard(complex_b(d_re2, d_im2, shard(Zv), tau))
-
-            if batched:
-
-                def Mop(v, carry):
-                    vv = v.reshape((n2 * 2,) + v.shape[2:])
-                    out = _vc(prec, jnp.repeat(shifts, 2), tau, vv)
-                    return shard(out.reshape(v.shape)), carry + 1
-
-                carry0 = jnp.zeros((n2, 2), jnp.int32)
-            else:
-
-                def Mop(v, carry):
-                    """PRESB (reference main.cc:2284-2335):
-                    x0 ~ (S)^{-1}(v_re + v_im);  S = (l_re + l_im) M + tau K
-                    x1 ~ (S)^{-1}(v_im - l_im M x0);  out = (x0 - x1, x1)."""
-                    v = shard(v)
-                    t0 = v[:, 0] + v[:, 1]
-                    x0, c0 = inner_solve(t0, prec, tau)
-                    lam = d_im2.reshape((n2,) + (1,) * dim)
-                    t1 = v[:, 1] - lam * mass_b(x0)
-                    x1, c1 = inner_solve(t1, prec, tau)
-                    out = jnp.stack([x0 - x1, x1], axis=1)
-                    return shard(out), carry + jnp.stack([c0, c1], axis=1)
-
-                carry0 = jnp.zeros((n2, 2), jnp.int32)
+            Aop = lambda Zv: aop_jit(Zv, tau)
+            Mop = lambda v, carry: mop_jit(v, carry, tau, prec)
+            carry0 = jnp.zeros((n2, 2), jnp.int32)
 
             res = gmres(
                 Aop,
@@ -195,7 +202,9 @@ class ComplexIRK(SchemeBase):
                 maxiter=1000,
                 abstol=1e-20,
                 reltol=outer_tol,
-                restart=28,
+                # compact fixed basis at huge grids (see schemes/irk.py)
+                restart=28 if int(np.prod(spatial)) <= 8_000_000 else 12,
+                adaptive=None if int(np.prod(spatial)) <= 8_000_000 else 0,
                 batch=True,
             )
             zr, zi = res.x[:, 0], res.x[:, 1]

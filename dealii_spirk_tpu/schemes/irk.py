@@ -126,21 +126,30 @@ class IRK(SchemeBase):
             W = W - apply_stiffness(fine, u, dim, mode)[None]
             return shard(mixer(A_inv, W))
 
+        # Aop/Mop take tau/prec as EXPLICIT jit arguments (not closures):
+        # gmres instantiates them at four structural sites (adaptive
+        # cycle, full cycle, restart recompute, initial residual) and
+        # explicit args let every site hit the same jit cache entry, so
+        # the lowering emits ONE shared XLA computation instead of four
+        # copies of the whole V-cycle machinery — the copies pushed the
+        # refinement-8 program past the remote compiler's request cap.
+        def raw_Aop(W, tau):
+            W = shard(W)
+            if use_canon:
+                MW, KW = st.fused_mass_stiffness_apply_canon(fine, W, dim)
+            else:
+                MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
+            return shard(mixer(A_inv, MW) + tau * KW)
+
+        aop_jit = jax.jit(raw_Aop)
+
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
                 W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
 
-            def Aop(W):
-                W = shard(W)
-                if use_canon:
-                    MW, KW = st.fused_mass_stiffness_apply_canon(
-                        fine, W, dim
-                    )
-                else:
-                    MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
-                return shard(mixer(A_inv, MW) + tau * KW)
+            Aop = lambda W: aop_jit(W, tau)
 
-            def Mop(v, carry):
+            def raw_Mop(v, carry, tau, prec):
                 z = shard(mixer(T_inv, shard(v)))
                 if sequential_stages:
                     # per-stage sequential solves, one GMG pipeline per
@@ -213,6 +222,9 @@ class IRK(SchemeBase):
                     carry = carry + 1
                 return shard(mixer(T, shard(z))), carry
 
+            mop_jit = jax.jit(raw_Mop)
+            Mop = lambda v, carry: mop_jit(v, carry, tau, prec)
+
             res = gmres(
                 Aop,
                 W_rhs,
@@ -221,7 +233,14 @@ class IRK(SchemeBase):
                 maxiter=1000,
                 abstol=1e-20,
                 reltol=outer_tol,
-                restart=28,
+                # deal.II-style 28-vector basis; at huge grids a compact
+                # fixed basis instead (28 x 265 MB of basis = 7.7 GB HBM
+                # at refinement 8, and the adaptive pre-cycle's second
+                # copy of the solve machinery pushes the program past the
+                # remote compiler's request cap; solves take 4-6 outer
+                # iterations, so 12 columns lose nothing)
+                restart=28 if int(np.prod(spatial)) <= 8_000_000 else 12,
+                adaptive=None if int(np.prod(spatial)) <= 8_000_000 else 0,
             )
             W = (
                 st.unpad_canon(res.x, spatial, dim) if use_canon else res.x

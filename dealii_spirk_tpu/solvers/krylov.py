@@ -241,6 +241,14 @@ def gmres(
         import os
 
         orthog = os.environ.get("SPIRK_GMRES_ORTHOG", "mgs")
+    # A and M contain the operator/preconditioner machinery (V-cycles,
+    # fused kernels) and appear at FOUR structural call sites (adaptive
+    # small-basis cycle, full cycle, restart-recompute branch, initial
+    # residual).  Nested jit makes every site call ONE shared lowered
+    # computation instead of embedding four copies — at refinement 8 the
+    # duplicated machinery alone exceeded the remote compiler's request
+    # cap.  XLA inlines called computations during optimization, so the
+    # executed program is unchanged.
     if M is None:
         Ms = lambda v, c: (v, c)
         carry0 = jnp.int32(0)

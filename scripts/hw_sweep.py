@@ -44,11 +44,17 @@ def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3):
     prec = scheme_o._reinit(tau)
     jax.block_until_ready(prec)
 
-    @jax.jit
+    # separate phase jits (like the CLI/solve_step path): ONE combined
+    # step program at refinement 8 exceeds the remote compiler's request
+    # cap, while the phases individually compile fine
+    rhs_jit = jax.jit(scheme_o.rhs_fn)
+    solve_jit = jax.jit(scheme_o.solve_fn)
+    update_jit = jax.jit(scheme_o.update_fn)
+
     def step(u, t, tau_):
-        W_rhs = scheme_o.rhs_fn(u, t, tau_)
-        W, n_outer, n_inner = scheme_o.solve_fn(W_rhs, prec, tau_)
-        return scheme_o.update_fn(u, W, tau_), n_outer, n_inner
+        W_rhs = rhs_jit(u, t, tau_)
+        W, n_outer, n_inner = solve_jit(W_rhs, prec, tau_)
+        return update_jit(u, W, tau_), n_outer, n_inner
 
     u = problem.initial_condition()
     tau_ = jnp.asarray(tau, problem.dtype)
