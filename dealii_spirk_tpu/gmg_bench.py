@@ -118,8 +118,13 @@ def _bench_mode(
             from .solvers.gmg import vcycle_canon
 
             rhs = stc.pad_canon(rhs, space.shape, p_deg, dim)
+            ft = (
+                prec.canon_tables[-1]
+                if prec.canon_tables is not None
+                else None
+            )
             A = lambda W: stc.fused_stencil_apply_canon(
-                fine, shifts, b, W, dim
+                fine, shifts, b, W, dim, tables=ft
             )
             M = lambda r: vcycle_canon(gmg, prec, shifts, b, r, dim)
         else:

@@ -1538,9 +1538,24 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
         )(w, yb, xmat, u_c)
 
 
+def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
+    """Kernel tables (zb, yb, xmat) for one level's canonical layout.
+
+    Built once (e.g. inside ``gmg_reinit``) and THREADED as arguments to
+    the canonical kernel wrappers via ``GMGPrec.canon_tables`` — in-graph
+    construction at every call site measurably slowed the solve (~15% at
+    refinement 7: XLA's while-loop LICM does not fully hoist it), while
+    concrete literals blow up program size (see ``_table_cache_get``).
+    The layout must match the wrappers' own x_roll choice, which is a
+    pure function of the canonical shape."""
+    shape_c = (0,) + canon_shape(spatial, p, dim)  # leading batch unused
+    x_roll = _x_roll_ok(p, dim, shape_c[-1])
+    return _tables_canon(ops, shape_c, p, dim, x_roll)
+
+
 def fused_stencil_apply_canon(
     ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False,
-    force_yb: int = 0,
+    force_yb: int = 0, tables=None,
 ):
     """(a M + b K) on a canonical-layout stage block — ONE HBM round trip,
     pads in == zero implies pads out == zero (no scrubs)."""
@@ -1552,7 +1567,11 @@ def fused_stencil_apply_canon(
     w = jnp.stack([a_arr, b_arr], axis=1)
     by = force_yb or _canon_by(u_c, p, dim)
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
-    zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    zb, yb, xmat = (
+        tables
+        if tables is not None
+        else _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    )
     return _fused_apply_canon(
         w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
         x_roll=x_roll, by=by,
@@ -1628,14 +1647,18 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
 
 def fused_mass_stiffness_apply_canon(
     ops: LevelOps, u_c, dim: int, *, interpret: bool = False,
-    force_yb: int = 0,
+    force_yb: int = 0, tables=None,
 ):
     """(M u, K u) on a canonical-layout stage block, one HBM pass."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or _canon_by(u_c, p, dim, kind="ms")
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
-    zb, yb, xmat = _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    zb, yb, xmat = (
+        tables
+        if tables is not None
+        else _tables_canon(ops, u_c.shape, p, dim, x_roll)
+    )
     return _fused_ms_apply_canon(
         zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
         x_roll=x_roll, by=by,
@@ -1644,7 +1667,7 @@ def fused_mass_stiffness_apply_canon(
 
 def fused_cheb_iter_canon(
     ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
-    *, interpret: bool = False, force_yb: int = 0,
+    *, interpret: bool = False, force_yb: int = 0, tables=None,
 ):
     """One fused Chebyshev iteration on canonical-layout stage blocks
     (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
@@ -1659,7 +1682,11 @@ def fused_cheb_iter_canon(
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     by = force_yb or _canon_by(d_c, p, dim, kind="cheb")
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
-    zb, yb, xmat = _tables_canon(ops, d_c.shape, p, dim, x_roll)
+    zb, yb, xmat = (
+        tables
+        if tables is not None
+        else _tables_canon(ops, d_c.shape, p, dim, x_roll)
+    )
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
         interpret=interpret, x_roll=x_roll, by=by,

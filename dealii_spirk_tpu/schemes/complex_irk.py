@@ -91,25 +91,34 @@ class ComplexIRK(SchemeBase):
         self.use_canon = use_canon
 
         if use_canon:
-            mass_b = lambda W: st.fused_stencil_apply_canon(
-                fine, 1.0, 0.0, W, dim
+            mass_b = lambda W, tb=None: st.fused_stencil_apply_canon(
+                fine, 1.0, 0.0, W, dim, tables=tb
             )
-            shifted_b = lambda si, Wi, tau: st.fused_stencil_apply_canon(
-                fine, si, tau, Wi, dim
+            shifted_b = lambda si, Wi, tau, tb=None: (
+                st.fused_stencil_apply_canon(
+                    fine, si, tau, Wi, dim, tables=tb
+                )
             )
         else:
-            mass_b = lambda W: apply_mass_batched(fine, W, dim, mode)
-            shifted_b = lambda si, Wi, tau: apply_shifted_batched(
+            mass_b = lambda W, tb=None: apply_mass_batched(
+                fine, W, dim, mode
+            )
+            shifted_b = lambda si, Wi, tau, tb=None: apply_shifted_batched(
                 fine, si, tau, Wi, dim, mode
             )
 
-        def complex_b(d_re, d_im, Z, tau):
+        def _fine_tables(prec):
+            if use_canon and prec.canon_tables is not None:
+                return prec.canon_tables[-1]
+            return None
+
+        def complex_b(d_re, d_im, Z, tau, tb=None):
             """2x2 block complex apply over pair blocks (n2, 2, *spatial)
             (reference operator.h:593-666), flattened so the fused batched
             operator serves both components in one sweep."""
             flat = Z.reshape((Z.shape[0] * 2,) + Z.shape[2:])
-            S = shifted_b(jnp.repeat(d_re, 2), flat, tau).reshape(Z.shape)
-            Mz = mass_b(flat).reshape(Z.shape)
+            S = shifted_b(jnp.repeat(d_re, 2), flat, tau, tb).reshape(Z.shape)
+            Mz = mass_b(flat, tb).reshape(Z.shape)
             lam = d_im.reshape((Z.shape[0],) + (1,) * dim)
             cross = jnp.stack([-lam * Mz[:, 1], lam * Mz[:, 0]], axis=1)
             return S + cross
@@ -138,7 +147,7 @@ class ComplexIRK(SchemeBase):
                 x = _vc(prec, shifts, tau, rhs_pairs)
                 return x, jnp.ones((rhs_pairs.shape[0],), jnp.int32)
             res = pcg(
-                lambda Wb: shifted_b(shifts, Wb, tau),
+                lambda Wb: shifted_b(shifts, Wb, tau, _fine_tables(prec)),
                 rhs_pairs,
                 M=lambda r: _vc(prec, shifts, tau, r),
                 maxiter=100,
@@ -151,8 +160,8 @@ class ComplexIRK(SchemeBase):
 
         # explicit-args jitted Aop/Mop: one shared lowered computation
         # across gmres's structural call sites (see schemes/irk.py)
-        def raw_Aop(Zv, tau):
-            return shard(complex_b(d_re2, d_im2, shard(Zv), tau))
+        def raw_Aop(Zv, tau, tables):
+            return shard(complex_b(d_re2, d_im2, shard(Zv), tau, tables))
 
         aop_jit = jax.jit(raw_Aop)
 
@@ -173,12 +182,13 @@ class ComplexIRK(SchemeBase):
                 t0 = v[:, 0] + v[:, 1]
                 x0, c0 = inner_solve(t0, prec, tau)
                 lam = d_im2.reshape((n2,) + (1,) * dim)
-                t1 = v[:, 1] - lam * mass_b(x0)
+                t1 = v[:, 1] - lam * mass_b(x0, _fine_tables(prec))
                 x1, c1 = inner_solve(t1, prec, tau)
                 out = jnp.stack([x0 - x1, x1], axis=1)
                 return shard(out), carry + jnp.stack([c0, c1], axis=1)
 
-        mop_jit = jax.jit(raw_Mop)
+        share_ops = int(np.prod(spatial)) > 8_000_000  # see schemes/irk.py
+        mop_jit = jax.jit(raw_Mop) if share_ops else raw_Mop
 
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
@@ -190,7 +200,11 @@ class ComplexIRK(SchemeBase):
             )  # (n2, 2, *spatial)
             Z = shard(Z)
 
-            Aop = lambda Zv: aop_jit(Zv, tau)
+            Aop = lambda Zv: (
+                aop_jit(Zv, tau, _fine_tables(prec))
+                if share_ops
+                else raw_Aop(Zv, tau, _fine_tables(prec))
+            )
             Mop = lambda v, carry: mop_jit(v, carry, tau, prec)
             carry0 = jnp.zeros((n2, 2), jnp.int32)
 

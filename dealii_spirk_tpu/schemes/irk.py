@@ -133,21 +133,36 @@ class IRK(SchemeBase):
         # the lowering emits ONE shared XLA computation instead of four
         # copies of the whole V-cycle machinery — the copies pushed the
         # refinement-8 program past the remote compiler's request cap.
-        def raw_Aop(W, tau):
+        def raw_Aop(W, tau, tables):
             W = shard(W)
             if use_canon:
-                MW, KW = st.fused_mass_stiffness_apply_canon(fine, W, dim)
+                MW, KW = st.fused_mass_stiffness_apply_canon(
+                    fine, W, dim, tables=tables
+                )
             else:
                 MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
             return shard(mixer(A_inv, MW) + tau * KW)
 
         aop_jit = jax.jit(raw_Aop)
 
+        def _fine_tables(prec):
+            if use_canon and prec.canon_tables is not None:
+                return prec.canon_tables[-1]
+            return None
+
+        # shared-computation mode only where the program would otherwise
+        # exceed the remote compiler's cap: the pjit call boundaries cost
+        # ~5 ms/step at refinement 7 (blocked fusion at the Mop edges)
+        share_ops = int(np.prod(spatial)) > 8_000_000
+
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
                 W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
 
-            Aop = lambda W: aop_jit(W, tau)
+            if share_ops:
+                Aop = lambda W: aop_jit(W, tau, _fine_tables(prec))
+            else:
+                Aop = lambda W: raw_Aop(W, tau, _fine_tables(prec))
 
             def raw_Mop(v, carry, tau, prec):
                 z = shard(mixer(T_inv, shard(v)))
@@ -186,7 +201,8 @@ class IRK(SchemeBase):
                 elif inner_tol > 0.0 and not batched:
                     if use_canon:
                         A_in = lambda Wb: st.fused_stencil_apply_canon(
-                            fine, d_vec, tau, shard(Wb), dim
+                            fine, d_vec, tau, shard(Wb), dim,
+                            tables=_fine_tables(prec),
                         )
                         M_in = lambda r: shard(
                             vcycle_canon(
@@ -222,8 +238,8 @@ class IRK(SchemeBase):
                     carry = carry + 1
                 return shard(mixer(T, shard(z))), carry
 
-            mop_jit = jax.jit(raw_Mop)
-            Mop = lambda v, carry: mop_jit(v, carry, tau, prec)
+            mop = jax.jit(raw_Mop) if share_ops else raw_Mop
+            Mop = lambda v, carry: mop(v, carry, tau, prec)
 
             res = gmres(
                 Aop,

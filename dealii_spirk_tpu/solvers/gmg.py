@@ -64,6 +64,10 @@ class GMGPrec(NamedTuple):
     # zero-halo canonical-layout diagonals (``vcycle_canon``); entries are
     # None at levels where the canonical kernels don't run
     inv_diags_canon: tuple[jnp.ndarray | None, ...] | None = None
+    # per-level canonical kernel tables (zb, yb, xmat), threaded to the
+    # kernel wrappers so the hot loop neither rebuilds them in-graph nor
+    # embeds them as literals (ops/pallas/stencil.py::canon_tables)
+    canon_tables: tuple[tuple | None, ...] | None = None
 
 
 # levels at or below this DoF count are dropped and solved exactly by the
@@ -218,6 +222,7 @@ def gmg_reinit(
 
     inv_diags_padded = None
     inv_diags_canon = None
+    canon_tables = None
     if mode == "pallas" and batch:
         from ..ops.pallas import stencil as st
 
@@ -235,6 +240,12 @@ def gmg_reinit(
                 else None
                 for invd, ops in zip(inv_diags, gmg.level_ops)
             )
+            canon_tables = tuple(
+                st.canon_tables(ops, (ops.m,) * dim, p, dim)
+                if st.canon_supported((ops.m,) * dim, p, dim)
+                else None
+                for ops in gmg.level_ops
+            )
 
     return GMGPrec(
         inv_diags=tuple(inv_diags),
@@ -243,6 +254,7 @@ def gmg_reinit(
         coarse_inv=coarse_inv,
         inv_diags_padded=inv_diags_padded,
         inv_diags_canon=inv_diags_canon,
+        canon_tables=canon_tables,
     )
 
 
@@ -386,15 +398,21 @@ def _chebyshev_padded(
         )
         return rr, d, x, rho_new
 
-    from jax import lax
+    state = (rr, d, x, rho)
+    if r_pad.size <= 16_000_000:  # see _chebyshev_canon
+        for k in range(degree - 1):
+            state = body(k, state)
+    else:
+        from jax import lax
 
-    _rr, _d, x, _rho = lax.fori_loop(0, degree - 1, body, (rr, d, x, rho))
+        state = lax.fori_loop(0, degree - 1, body, state)
+    _rr, _d, x, _rho = state
     return x
 
 
 def _chebyshev_canon(
     ops, a, b, invd_c, theta, delta, r_c, dim,
-    *, x0_c=None, degree=SMOOTHER_DEGREE, interpret=False,
+    *, x0_c=None, degree=SMOOTHER_DEGREE, interpret=False, tables=None,
 ):
     """Chebyshev smoothing on canonical-layout stage blocks.  3D uses the
     fused iteration kernel (one HBM pass per iteration); 2D runs the
@@ -404,7 +422,7 @@ def _chebyshev_canon(
 
     if dim == 2:
         A = lambda u: st.fused_stencil_apply_canon(
-            ops, a, b, u, dim, interpret=interpret
+            ops, a, b, u, dim, interpret=interpret, tables=tables
         )
         return chebyshev_apply(
             A, invd_c, theta, delta, r_c, x0=x0_c, degree=degree, batch=True
@@ -418,7 +436,7 @@ def _chebyshev_canon(
         x = jnp.zeros_like(r_c)
     else:
         rr = r_c - st.fused_stencil_apply_canon(
-            ops, a, b, x0_c, dim, interpret=interpret
+            ops, a, b, x0_c, dim, interpret=interpret, tables=tables
         )
         x = x0_c
     z = invd_c * rr
@@ -427,24 +445,30 @@ def _chebyshev_canon(
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    # fori_loop: ONE kernel call site in the program (an unrolled python
-    # loop embeds degree-1 copies of the kernel and its tables — at
-    # refinement 8 the duplicated IR broke the remote compiler's size cap)
     def body(_k, state):
         rr, d, x, rho = state
         rho_new = 1.0 / (2.0 * sigma - rho)
         c1 = rho_new * rho
         c2 = 2.0 * rho_new / delta
         rr, d, x = st.fused_cheb_iter_canon(
-            ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret
+            ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret,
+            tables=tables,
         )
         return rr, d, x, rho_new
 
-    from jax import lax
+    # unrolled by default (a fori_loop's carry boundaries cost ~5 ms/step
+    # at refinement 7); fori only at huge grids, where one kernel call
+    # site instead of degree-1 keeps the program inside the remote
+    # compiler's request cap
+    state = (rr, d, x, rho)
+    if r_c.size <= 16_000_000:
+        for k in range(degree - 1):
+            state = body(k, state)
+    else:
+        from jax import lax
 
-    _rr, _d, x, _rho = lax.fori_loop(
-        0, degree - 1, body, (rr, d, x, rho)
-    )
+        state = lax.fori_loop(0, degree - 1, body, state)
+    _rr, _d, x, _rho = state
     return x
 
 
@@ -498,10 +522,15 @@ def vcycle_canon(
             u = apply_dense_1d(m_, u, 1 + ax_i)
         return u
 
+    def _tables(l):
+        return (
+            prec.canon_tables[l] if prec.canon_tables is not None else None
+        )
+
     def _A_canon(l):
         ops = gmg.level_ops[l]
         return lambda uc: st.fused_stencil_apply_canon(
-            ops, a, b, uc, dim, interpret=interpret
+            ops, a, b, uc, dim, interpret=interpret, tables=_tables(l)
         )
 
     def smooth(l, rl_c, x0_c=None):
@@ -519,6 +548,7 @@ def vcycle_canon(
                 gmg.level_ops[l], a, b, prec.inv_diags_canon[l],
                 prec.thetas[l], prec.deltas[l], rl_c, dim,
                 x0_c=x0_c, degree=degree, interpret=interpret,
+                tables=_tables(l),
             )
         # small level: compact classic smoothing (arrays are tiny here)
         sp = spatials[l]
