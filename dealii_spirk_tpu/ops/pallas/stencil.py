@@ -54,6 +54,19 @@ def _ceil(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _nx_pad(nx: int, p: int, dim: int) -> int:
+    """Lane extent for the kernels: the +p margin is only needed by the
+    lane-ROLL x-contraction; the MXU-dot path needs just ceil(nx, 128).
+    This matters exactly when nx + p crosses a lane-tile boundary — e.g.
+    p=2, m=127 would pad 129 -> 256 lanes, doubling every kernel's VMEM
+    (pushing the fused smoother off its budget) and the canonical
+    layout's footprint, for pad columns the dot annihilates anyway."""
+    nxr = _ceil(nx + p, 128)
+    if _x_roll_ok(p, dim, nxr):
+        return nxr
+    return _ceil(nx, 128)
+
+
 def fused_stencil_supported(degree: int, dim: int, dtype) -> bool:
     return 1 <= degree <= 4 and dim in (2, 3) and dtype == jnp.float32
 
@@ -120,7 +133,7 @@ def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     if dim != 3:
         return True
     ny_p = _ceil(spatial[-2] + p, 8)
-    nx_p = _ceil(spatial[-1] + p, 128)
+    nx_p = _nx_pad(spatial[-1], p, dim)
     plane = ny_p * nx_p * 4
     bz = _BZ
     blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if cheb else 0)
@@ -141,7 +154,7 @@ def yb_for(spatial, p: int, dim: int) -> int:
     """
     if dim != 3 or kernel_vmem_fits(spatial, p, dim):
         return 0
-    nx_p = _ceil(spatial[-1] + p, 128)
+    nx_p = _nx_pad(spatial[-1], p, dim)
     bz = _BZ
     for by in (128, 64, 32, 16, 8):
         if by >= _ceil(spatial[-2] + p, 8):
@@ -923,7 +936,7 @@ def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
 
 def _tables_build(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
                   by: int = 0):
-    nx_p = _ceil(u.shape[-1] + p, 128)
+    nx_p = _nx_pad(u.shape[-1], p, dim)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
     else:
@@ -1032,9 +1045,9 @@ def canon_shape(spatial, p: int, dim: int):
     if dim == 3:
         nz, ny, nx = spatial
         bz = _BZ if nz >= _BZ else 8
-        return (_ceil(nz, bz), _ceil(ny + p, 8), _ceil(nx + p, 128))
+        return (_ceil(nz, bz), _ceil(ny + p, 8), _nx_pad(nx, p, dim))
     ny, nx = spatial
-    return (_ceil(ny + p, 8), _ceil(nx + p, 128))
+    return (_ceil(ny + p, 8), _nx_pad(nx, p, dim))
 
 
 # extra pipelined/intermediate block budget per kernel kind, in units of
