@@ -163,7 +163,9 @@ def yb_for(spatial, p: int, dim: int) -> int:
         floats = (
             2 * (bz + 2 * p) * byh + 2 * bz * byh + 8 * bz * by
         ) * nx_p
-        if floats * 4 <= 14 * 2**20:
+        # 11 MB budget: the estimate undercounts at higher degrees
+        # (measured 18.6 MB actual vs 14.5 estimated at p=3, by=128)
+        if floats * 4 <= 11 * 2**20:
             return by
     return 0
 
@@ -205,6 +207,12 @@ _INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
 
 def _x_dot(CD, xm, force_highest: bool = False):
     dn = (((2,), (0,)), ((), ()))
+    # Mosaic rejects bf16 matmuls with a single-lane-tile output
+    # ("Bad lhs type" at N=128 on v5e) — seen both for the forced-dot
+    # p=1 probe and for p>=2 with the tight lane extent; 256-wide
+    # outputs compile fine.
+    if xm.shape[-1] < 256:
+        force_highest = True
     if _BF16X3 and not force_highest:
         ch = CD.astype(jnp.bfloat16)
         cl = (CD - ch.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -1074,7 +1082,8 @@ def _canon_by_from_shape(shape_c, p: int, kind: str = "apply") -> int:
         floats = (2 * (bz + 2 * p) + 2 * bz) * byw * nx_p + (
             8 + _CANON_KIND_EXTRA[kind]
         ) * bz * by * nx_p
-        if floats * 4 <= 14 * 2**20:
+        # 11 MB budget (see yb_for: the estimate undercounts at high p)
+        if floats * 4 <= 11 * 2**20:
             return by
     return -1
 

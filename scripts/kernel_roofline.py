@@ -76,7 +76,12 @@ def main():
             _, _, _, pad = st._geometry_yb(W, p, st._ceil(m + p, 128), by)
         else:
             _, _, _, pad = st._geometry(W, p, 3, st._ceil(m + p, 128))
-        t_pad = timed(lambda u: jnp.pad(u, pad).sum(), W)  # approx
+        t_pad = timed(
+            lambda u: jnp.pad(u, pad)[
+                tuple(slice(0, s) for s in u.shape)
+            ],
+            W,
+        )  # pad + slice round trip
         gbps = nbytes / t_apply / 1e9
         gbps_ms = 3 * W.size * 4 / t_ms / 1e9  # 1 read, 2 writes
         print(
