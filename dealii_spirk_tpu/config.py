@@ -120,20 +120,24 @@ class Parameters:
     def operator_mode(self) -> str:
         """Map the reference's OperatorType onto the TPU execution modes:
         MatrixBased -> dense 1D contractions on the MXU; MatrixFree ->
-        the fused Pallas stencil kernel when it applies (degree 1, f32,
-        TPU backend), banded roll sweeps otherwise."""
+        the fused Pallas stencil kernels whenever they apply (degrees
+        1-4, f32, TPU backend — ``fused_stencil_supported``), banded
+        roll sweeps otherwise.  The reference's degree sweep is a
+        first-class paper axis (``scripts/parameters_p.py:22-31``), so
+        every supported degree must dispatch the fast path by default."""
         if self.operator_mode_override:
             return self.operator_mode_override
         if self.operator_type == "MatrixBased":
             return "dense"
         import jax
 
-        if (
-            self.fe_degree == 1
-            and self.precision == "f32"
-            and jax.default_backend() == "tpu"
-        ):
-            return "pallas"
+        if self.precision == "f32" and jax.default_backend() == "tpu":
+            import jax.numpy as jnp
+
+            from .ops.pallas.stencil import fused_stencil_supported
+
+            if fused_stencil_supported(self.fe_degree, self.dim, jnp.float32):
+                return "pallas"
         return "stencil"
 
     @property

@@ -934,16 +934,6 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
 
 def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
             by: int = 0):
-    return _table_cache_get(
-        "classic",
-        ops,
-        (tuple(u.shape), p, dim, x_roll, by),
-        lambda: _tables_build(ops, u, p, dim, x_roll, by),
-    )
-
-
-def _tables_build(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
-                  by: int = 0):
     nx_p = _nx_pad(u.shape[-1], p, dim)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -1038,8 +1028,10 @@ def fused_mass_stiffness_apply(
 #   what the earlier halo-block padded layout (below) lacked;
 # * all other solve operations (elementwise chains, stage mixes, Krylov
 #   dots, zero-embedded transfer matmuls) are linear and touch pads only
-#   multiplicatively, so zeros stay zeros and dots/norms are unchanged —
-#   iteration counts are bit-for-bit those of the classic path.
+#   multiplicatively, so zeros stay zeros and dots/norms are unchanged BY
+#   THE PADS — iteration counts match the classic path up to fp
+#   reduction-order effects (the canonical x contraction may use a
+#   different dot variant than the compact path; scheme tests allow ±1).
 #
 # The z-halo is eliminated by branch-specific boundary DMAs
 # (``_slab_dma_canon``): first/last blocks copy the in-bounds sub-window
@@ -1459,21 +1451,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
 # table.)
 
 
-def _table_cache_get(kind, ops: LevelOps, extra, builder):
-    return builder()
-
-
 def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
-    return _table_cache_get(
-        "canon",
-        ops,
-        (tuple(shape_c), p, dim, x_roll),
-        lambda: _tables_canon_build(ops, shape_c, p, dim, x_roll),
-    )
-
-
-def _tables_canon_build(ops: LevelOps, shape_c, p: int, dim: int,
-                        x_roll: bool):
     nx_p = shape_c[-1]
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -1560,6 +1538,28 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
         )(w, yb, xmat, u_c)
 
 
+def _check_canon_tables(tables, x_roll: bool):
+    """Guard the threaded-tables contract: the xmat layout must match the
+    wrapper's resolved x-contraction.  The y-blocked canonical kernels
+    always use the dense xmat (wrappers force x_roll off when by > 0),
+    while ``canon_tables`` chooses the layout from the canonical shape
+    alone — consistent for every shape the solvers produce (cubic grids),
+    but nothing upstream enforces it, so fail loudly rather than feed a
+    band table to the dot kernel (wrong shapes/results)."""
+    if tables is None:
+        return
+    xmat = tables[2]
+    # dense: (2*nx_p, nx_p) with nx_p >= 128; band: <= ~24 rows
+    is_dense = xmat.shape[0] == 2 * xmat.shape[1]
+    if is_dense == x_roll:
+        raise ValueError(
+            f"canonical kernel tables were built for "
+            f"{'the dense-dot' if is_dense else 'the lane-roll'} x path "
+            f"but the kernel resolved x_roll={x_roll} "
+            f"(xmat shape {tuple(xmat.shape)})"
+        )
+
+
 def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
     """Kernel tables (zb, yb, xmat) for one level's canonical layout.
 
@@ -1589,6 +1589,7 @@ def fused_stencil_apply_canon(
     w = jnp.stack([a_arr, b_arr], axis=1)
     by = force_yb or _canon_by(u_c, p, dim)
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
+    _check_canon_tables(tables, x_roll)
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -1676,6 +1677,7 @@ def fused_mass_stiffness_apply_canon(
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or _canon_by(u_c, p, dim, kind="ms")
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
+    _check_canon_tables(tables, x_roll)
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -1704,6 +1706,7 @@ def fused_cheb_iter_canon(
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     by = force_yb or _canon_by(d_c, p, dim, kind="cheb")
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
+    _check_canon_tables(tables, x_roll)
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -1792,14 +1795,23 @@ def _fused_cheb_canon(
 
 
 def padded_shape(spatial, p: int, dim: int):
-    """Canonical padded shape (without the leading batch axis)."""
+    """Canonical padded shape (without the leading batch axis).
+
+    The lane extent uses ``_nx_pad`` — the same tight rule as the
+    canonical layout and the ``kernel_vmem_fits`` gate: the +p margin is
+    carried only when the lane-roll x path (p=1) will use it; the
+    dense-dot path needs none.  Keeping this consistent with the gate
+    matters: at p>=2, m=127 the old ``ceil(nx+p, 128)`` rule padded to
+    256 lanes (~2x kernel VMEM) while the gate estimated with 128 — the
+    fused smoother would pass the gate and then blow Mosaic's scoped
+    cap at compile time."""
     if dim == 3:
         nz, ny, nx = spatial
         bz = _BZ if nz >= _BZ else 8
         nzp = _ceil(nz, bz)
-        return (bz + nzp + bz, _ceil(ny + p, 8), _ceil(nx + p, 128))
+        return (bz + nzp + bz, _ceil(ny + p, 8), _nx_pad(nx, p, dim))
     ny, nx = spatial
-    return (_ceil(ny + p, 8), _ceil(nx + p, 128))
+    return (_ceil(ny + p, 8), _nx_pad(nx, p, dim))
 
 
 def pad_field(u, spatial, p: int, dim: int):
@@ -1922,12 +1934,7 @@ def fused_stencil_apply_padded(
             )
         return None, _band_table(ops, u_pad.shape[1]), xmat
 
-    zb, yb, xmat = _table_cache_get(
-        "padded",
-        ops,
-        (tuple(u_pad.shape), tuple(spatial), p, dim, x_roll),
-        _build_padded_tables,
-    )
+    zb, yb, xmat = _build_padded_tables()
     return _fused_apply_padded(
         w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
         interpret=interpret, x_roll=x_roll,
@@ -2045,12 +2052,7 @@ def fused_cheb_iter_padded(
             )
         return _band_table(ops, nzp), _band_table(ops, ny_p), xmat
 
-    zb, yb, xmat = _table_cache_get(
-        "padded-cheb",
-        ops,
-        (tuple(d_pad.shape), tuple(spatial), p, dim, x_roll),
-        _build_cheb_tables,
-    )
+    zb, yb, xmat = _build_cheb_tables()
 
     from jax._src.config import enable_x64 as _scoped_x64
 

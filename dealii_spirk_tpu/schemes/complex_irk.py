@@ -81,6 +81,10 @@ class ComplexIRK(SchemeBase):
 
         p_deg = (fine.mass_band.shape[0] - 1) // 2
         spatial = (fine.m,) * dim
+        # compact fixed basis at huge grids: see schemes/irk.py
+        self._compact_restart = (
+            12 if int(np.prod(spatial)) > 8_000_000 else 0
+        )
         use_canon = (
             mode == "pallas"
             and mesh is None
@@ -340,6 +344,21 @@ class ComplexIRK(SchemeBase):
         if int(np.asarray(n_outer).max()) >= 1000:
             # reference aborts on solver non-convergence (main.cc:1386-1389)
             raise RuntimeError("pair GMRES did not converge within 1000 iterations")
+        if (
+            self._compact_restart
+            and int(np.asarray(n_outer).max()) > self._compact_restart
+        ):
+            import warnings
+
+            warnings.warn(
+                f"a pair GMRES lane took {int(np.asarray(n_outer).max())} "
+                f"iterations — beyond the {self._compact_restart}-column "
+                "compact basis used at this grid size, so a restart fired "
+                "where deal.II's 30-vector basis would not; iteration "
+                "counts may diverge from the reference here (ADVICE r2)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.n_outer += int(np.asarray(n_outer).sum())
         self.n_inner += int(np.asarray(n_inner).sum())
         # per-pair outer counts drive the per-group time attribution

@@ -98,12 +98,19 @@ class IRK(SchemeBase):
         # and V-cycle field stays in the kernels' aligned shape with
         # exactly-zero pads, and the solution is unpadded once — applies
         # and fused Chebyshev iterations pay ONE HBM pass instead of
-        # three.  Dots/norms are unchanged (pads zero), so iteration
-        # counts match the classic path bit-for-bit.
+        # three.  Dots/norms are unchanged by the zero pads; iteration
+        # counts match the classic path up to fp reduction-order effects
+        # (different x-dot variants; tests allow ±1).
         from ..ops.pallas import stencil as st
 
         p_deg = (fine.mass_band.shape[0] - 1) // 2
         spatial = (fine.m,) * dim
+        # compact fixed basis at huge grids (see solve_fn): if a solve
+        # ever exceeds it, a restart fires where deal.II's 30-vector
+        # default would not — make that parity divergence loud
+        self._compact_restart = (
+            12 if int(np.prod(spatial)) > 8_000_000 else 0
+        )
         use_canon = (
             mode == "pallas"
             and mesh is None
@@ -339,6 +346,18 @@ class IRK(SchemeBase):
         if int(n_outer) >= 1000:
             # reference aborts on solver non-convergence (main.cc:927-930)
             raise RuntimeError("outer GMRES did not converge within 1000 iterations")
+        if self._compact_restart and int(n_outer) > self._compact_restart:
+            import warnings
+
+            warnings.warn(
+                f"outer GMRES took {int(n_outer)} iterations — beyond the "
+                f"{self._compact_restart}-column compact basis used at this "
+                "grid size, so a restart fired where deal.II's 30-vector "
+                "basis would not; iteration counts may diverge from the "
+                "reference here (ADVICE r2)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.n_outer += int(n_outer)
         # keep the per-stage inner counts for per-stage time attribution
         # (reference t_prec_solver_0..9, main.cc:810-813)

@@ -487,9 +487,11 @@ def vcycle_canon(
     result are (q, *canon_shape(fine)) with pads exactly zero; applies and
     fused Chebyshev iterations pay ONE HBM pass each (no per-apply
     pad/slice, no halo scrubs — see ``ops/pallas/stencil.py``).  Iteration
-    semantics are identical to ``vcycle(..., batch=True)``: pads are zero
-    so every dot/norm matches bit-for-bit.  Levels too small for the
-    canonical kernels fall back to the compact path locally (cheap there).
+    semantics match ``vcycle(..., batch=True)``: pads are zero so dots and
+    norms are unchanged by the padding itself; counts can still differ by
+    fp reduction-order effects between x-contraction variants (scheme
+    tests allow ±1).  Levels too small for the canonical kernels fall back
+    to the compact path locally (cheap there).
     """
     from ..ops.banded import apply_dense_1d
     from ..ops.pallas import stencil as st

@@ -211,10 +211,14 @@ def gmres(
     take 4-10 iterations while deal.II's default basis is 30 vectors
     (reference outer solver ``main.cc:920-925``) — the result is
     IDENTICAL to the full-restart run (same Krylov space, no restart
-    triggered) at a third of the basis memory/zeroing traffic.  Only
-    when a lane is still unconverged does the full ``restart``-column
-    run execute, from the original state, so iteration counts keep
-    exact deal.II parity in every case.  ``0`` disables.
+    triggered) at a third of the basis memory/zeroing traffic.  If a
+    lane is still unconverged, the small cycle's Krylov state (basis,
+    rotated Hessenberg, Givens rotations) is embedded into the full
+    ``restart``-column buffers and the SAME cycle CONTINUES from
+    iteration ``adaptive`` — mathematically identical iterates to one
+    long deal.II cycle (same basis, same rotations), so iteration
+    counts keep exact deal.II parity in every case and no work is
+    discarded at the escalation boundary.  ``0`` disables.
 
     ``orthog`` selects the orthogonalization scheme (default from
     ``SPIRK_GMRES_ORTHOG``, else ``"mgs"``):
@@ -292,20 +296,44 @@ def gmres(
     def make_cycle(Rc: int):
         return partial(_cycle, Rc)
 
-    def _cycle(Rc, x, r, res, total_iters, carry):
+    def _cycle(Rc, x, r, res, total_iters, carry, init=None,
+               ret_state=False):
         """One restart cycle from x with preconditioned residual r,
-        basis size ``Rc``."""
-        beta = jnp.sqrt(_dot(r, r, batch))
-        safe_beta = jnp.where(beta > 0, beta, 1.0)
-        v0 = r / _expand(safe_beta, r, batch)
+        basis size ``Rc``.
 
-        V = jnp.zeros((Rc + 1,) + b.shape, dtype)
-        V = V.at[0].set(v0)
-        H = jnp.zeros(lane_shape + (Rc + 1, Rc), dtype)  # rotated (triangular)
-        g = jnp.zeros(lane_shape + (Rc + 1,), dtype)
-        g = g.at[..., 0].set(beta)
-        cs = jnp.zeros(lane_shape + (Rc,), dtype)
-        sn = jnp.zeros(lane_shape + (Rc,), dtype)
+        ``init``: optional Krylov state ``(V, H, g, cs, sn, k)`` from a
+        smaller-basis cycle of the SAME system — embedded into this
+        cycle's buffers so the iteration continues from column ``k``
+        (the adaptive-escalation path; see the ``adaptive`` docstring).
+        ``ret_state`` additionally returns this cycle's final state.
+        """
+        if init is None:
+            beta = jnp.sqrt(_dot(r, r, batch))
+            safe_beta = jnp.where(beta > 0, beta, 1.0)
+            v0 = r / _expand(safe_beta, r, batch)
+
+            V = jnp.zeros((Rc + 1,) + b.shape, dtype)
+            V = V.at[0].set(v0)
+            H = jnp.zeros(lane_shape + (Rc + 1, Rc), dtype)  # rotated
+            g = jnp.zeros(lane_shape + (Rc + 1,), dtype)
+            g = g.at[..., 0].set(beta)
+            cs = jnp.zeros(lane_shape + (Rc,), dtype)
+            sn = jnp.zeros(lane_shape + (Rc,), dtype)
+            k0 = jnp.int32(0)
+        else:
+            V_s, H_s, g_s, cs_s, sn_s, k0 = init
+            a = V_s.shape[0] - 1  # small-basis column count
+            V = jnp.zeros((Rc + 1,) + b.shape, dtype).at[: a + 1].set(V_s)
+            H = (
+                jnp.zeros(lane_shape + (Rc + 1, Rc), dtype)
+                .at[..., : a + 1, :a]
+                .set(H_s)
+            )
+            g = jnp.zeros(lane_shape + (Rc + 1,), dtype).at[..., : a + 1].set(
+                g_s
+            )
+            cs = jnp.zeros(lane_shape + (Rc,), dtype).at[..., :a].set(cs_s)
+            sn = jnp.zeros(lane_shape + (Rc,), dtype).at[..., :a].set(sn_s)
 
         def cond(st):
             _V, _H, _g, _cs, _sn, k, res, it, _carry = st
@@ -392,7 +420,7 @@ def gmres(
             it = it + active.astype(jnp.int32)
             return V, H, g, cs, sn, k + 1, res, it, carry
 
-        st = (V, H, g, cs, sn, jnp.int32(0), res, total_iters, carry)
+        st = (V, H, g, cs, sn, k0, res, total_iters, carry)
         V, H, g, cs, sn, k, res, it, carry = lax.while_loop(cond, body, st)
 
         # back-substitution on the rotated (upper-triangular) H
@@ -427,6 +455,8 @@ def gmres(
                 return dx + y[j] * V[j]
 
             dx = lax.fori_loop(0, k_sz, acc_fn, jnp.zeros_like(x))
+        if ret_state:
+            return x + dx, res, it, carry, (V, H, g, cs, sn, k)
         return x + dx, res, it, carry
 
     cycle = make_cycle(R)
@@ -475,15 +505,47 @@ def gmres(
 
         adaptive = int(os.environ.get("SPIRK_GMRES_ADAPTIVE", "12"))
     if adaptive and adaptive < R and maxiter > adaptive:
-        # small-basis first cycle; escalate (from scratch) only if any
-        # lane is still unconverged — see the docstring
-        x_s, res_s, it_s, carry_s = make_cycle(adaptive)(
-            x0, r0, beta0, zero_it, carry0
+        # small-basis first cycle; if any lane is still unconverged,
+        # CONTINUE the same cycle with the full basis from the embedded
+        # small-basis state (no discarded work) — see the docstring
+        x_s, res_s, it_s, carry_s, small_state = _cycle(
+            adaptive, x0, r0, beta0, zero_it, carry0, ret_state=True
         )
+
+        def run_cont(_):
+            # resume from the small cycle's residual estimates, iteration
+            # counts and preconditioner carry; x0/r0 are only the cycle's
+            # expansion point (dx spans the whole embedded basis)
+            x, res, it, carry = _cycle(
+                R, x0, r0, res_s, it_s, carry_s, init=small_state
+            )
+            # recompute the residual only if restarts will continue
+            # (deal.II exits on the Givens estimate; cf. outer_body)
+            still = (res > tol) & (it < maxiter)
+
+            def recompute(args):
+                x_, r_, res_, carry_ = args
+                r_new, carry_new = Ms(b - A(x_), carry_)
+                carry2 = _mask_carry(carry_new, carry_, still)
+                res_new = jnp.sqrt(_dot(r_new, r_new, batch))
+                return r_new, jnp.where(still, res_new, res_), carry2
+
+            def skip(args):
+                _x, r_, res_, carry_ = args
+                return r_, res_, carry_
+
+            r, res, carry = lax.cond(
+                jnp.any(still), recompute, skip, (x, r0, res, carry)
+            )
+            x, _r, res, it, carry = lax.while_loop(
+                outer_cond, outer_body, (x, r, res, it, carry)
+            )
+            return x, res, it, carry
+
         x, res, iters, carry = lax.cond(
             jnp.all(res_s <= tol),
             lambda _: (x_s, res_s, it_s, carry_s),
-            run_full,
+            run_cont,
             None,
         )
     else:

@@ -58,6 +58,61 @@ def test_write_vtr(tmp_path):
     np.testing.assert_allclose(data, vals.ravel(order="F"))
 
 
+def test_per_stage_split_nonuniform():
+    """With InnerTolerance > 0 the per-lane CG counts differ (the stage
+    blocks have different shifts), so the t_prec_solver_0..9 attribution
+    must be non-uniform — the column carries real information exactly
+    where the reference's in-loop per-stage timers would show a spread
+    (main.cc:810-813).  With InnerTolerance 0 — or the block-batched
+    schemes, whose preconditioner is one V-cycle per application by
+    construction — the uniform split is exact (see PARITY.md)."""
+    from dealii_spirk_tpu.config import Parameters
+    from dealii_spirk_tpu.problem import HeatProblem
+    from dealii_spirk_tpu.schemes import make_scheme
+
+    p = Parameters.from_dict(
+        {
+            "FEDegree": 1,
+            "NRefinements": 4,
+            "TimeIntegrationScheme": "irk",
+            "IRKStages": 3,
+            "TimeStepSize": 0.1,
+            "EndTime": 0.2,
+            "OperatorType": "MatrixFree",
+            "BlockPreconditionerType": "GMG",
+            "InnerTolerance": 1e-4,
+            "DoOutputParaview": False,
+        },
+        dim=2,
+    )
+    problem = HeatProblem(p)
+    sch = make_scheme(problem, p)
+    tau = p.time_step_size
+    u = problem.initial_condition()
+    sch.solve_step(u, 2, tau, tau)  # timestep 2: stats not reset
+    counts = np.asarray(sch.n_inner_stage, dtype=float)
+    assert counts.sum() > 0
+    assert counts.max() > counts.min(), counts
+
+    # the per-stage columns reflect that spread
+    sch.timers.seconds["preconditioner_solver"] = 1.0
+
+    class Tab:
+        vals = {}
+
+        def add_value(self, k, v):
+            self.vals[k] = v
+
+        def set_scientific(self, k, f):
+            pass
+
+    tab = Tab()
+    sch.add_per_stage_times(tab, 1.0, p.irk_stages)
+    split = [tab.vals[f"t_prec_solver_{i}"] for i in range(p.irk_stages)]
+    assert max(split) > min(split), split
+    np.testing.assert_allclose(sum(tab.vals.values()), 1.0, rtol=1e-12)
+
+
 def test_paraview_series(tmp_path):
     s = ParaviewSeries(str(tmp_path))
     u = np.ones((3, 3))
