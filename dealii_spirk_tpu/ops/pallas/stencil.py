@@ -120,6 +120,48 @@ def _band_table_x(ops: LevelOps, n_cols: int):
     return tab.at[nb : 2 * nb, :m].set(kb)
 
 
+def _band_table_y_mxu(ops: LevelOps, ny_p: int):
+    """(ny_p, 2*ny_p) dense ``[Wm | Ws]`` lhs for the MXU y contraction
+    (zero-padded beyond the m physical rows; built in-graph, see
+    ``_dense_padded``).  M and K are symmetric, so no transpose question
+    arises."""
+    return jnp.concatenate(
+        [
+            _dense_padded(ops.mass_band, ny_p),
+            _dense_padded(ops.stiff_band, ny_p),
+        ],
+        axis=1,
+    )
+
+
+def _y_mxu_ok(p: int, dim: int, ny_p: int, nx_p: int, by: int) -> bool:
+    """MXU y-contraction gate: whole-plane 3D kernels with a
+    full-lane-tile y extent (Mosaic's bf16 matmul support is only
+    validated there) and VMEM headroom for the per-plane matmul operands
+    (H + stacked CD + dense Y ~ 22 plane-equivalents) under the
+    worst-case (cheb) kernel — one decision for ALL kernel kinds so the
+    threaded canonical tables stay layout-consistent."""
+    if not (_YMXU and dim == 3 and by == 0):
+        return False
+    if ny_p < 128 and not _INTERPRET:
+        return False  # Mosaic bf16 matmuls validated at >=1 lane tile only
+    blocks = 2 * (_BZ + 2 * p) + 13 * _BZ + 22
+    return ny_p * nx_p * 4 * blocks <= 14 * 2**20
+
+
+def _y_mxu_canon(shape_c, p: int, dim: int) -> bool:
+    """Canonical-path gate — a pure function of the canonical shape, so
+    ``canon_tables`` and every kernel wrapper resolve identically:
+    additionally requires ALL canonical kinds to run whole-plane."""
+    if dim != 3:
+        return False
+    if any(
+        _canon_by_from_shape(shape_c, p, kind) for kind in _CANON_KIND_EXTRA
+    ):
+        return False
+    return _y_mxu_ok(p, dim, shape_c[2], shape_c[3], 0)
+
+
 def kernel_vmem_fits(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     """Conservative scoped-VMEM estimate for the whole-plane 3D kernels.
 
@@ -200,24 +242,35 @@ import os as _os
 
 _BF16X3 = _os.environ.get("SPIRK_BF16X3", "1") == "1"
 
+# MXU y-contraction (VERDICT r2 #2): replace the y-direction roll/FMA
+# chains with one bf16x3 matmul per z-plane — [C|D] (ny, 2nx) =
+# [Wm|Ws] (ny, 2ny) @ [[E|F],[F|0]] (2ny, 2nx) — whose output IS the
+# x-dot operand (the concat the dot path built explicitly before).
+# Whole-plane 3D kernels only (the y-blocked variants keep rolls).
+# SPIRK_YMXU=0 opts out.
+_YMXU = _os.environ.get("SPIRK_YMXU", "0") == "1"
+
 # Force interpret-mode execution of every public kernel entry point
 # (CPU testing of the full pallas-mode solve paths, incl. schemes)
 _INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
 
 
-def _x_dot(CD, xm, force_highest: bool = False):
-    dn = (((2,), (0,)), ((), ()))
+def _dot_bf16x3(lhs, rhs, dn, force_highest: bool = False):
+    """dot_general as three bf16 MXU passes with f32 accumulation
+    (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is ~5e-6 relative),
+    falling back to HIGHEST (six f32-emulation passes) where Mosaic
+    rejects bf16.  Shared by the x contraction and the MXU y path."""
     # Mosaic rejects bf16 matmuls with a single-lane-tile output
     # ("Bad lhs type" at N=128 on v5e) — seen both for the forced-dot
     # p=1 probe and for p>=2 with the tight lane extent; 256-wide
     # outputs compile fine.
-    if xm.shape[-1] < 256:
+    if rhs.shape[-1] < 256:
         force_highest = True
     if _BF16X3 and not force_highest:
-        ch = CD.astype(jnp.bfloat16)
-        cl = (CD - ch.astype(jnp.float32)).astype(jnp.bfloat16)
-        xh = xm.astype(jnp.bfloat16)
-        xl = (xm - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ch = lhs.astype(jnp.bfloat16)
+        cl = (lhs - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+        xh = rhs.astype(jnp.bfloat16)
+        xl = (rhs - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             ch, xh, dn, preferred_element_type=jnp.float32
         )
@@ -228,13 +281,47 @@ def _x_dot(CD, xm, force_highest: bool = False):
             cl, xh, dn, preferred_element_type=jnp.float32
         )
     return jax.lax.dot_general(
-        CD, xm, dn, preferred_element_type=jnp.float32, precision=_HIGH
+        lhs, rhs, dn, preferred_element_type=jnp.float32, precision=_HIGH
+    )
+
+
+def _x_dot(CD, xm, force_highest: bool = False):
+    return _dot_bf16x3(
+        CD, xm, (((2,), (0,)), ((), ())), force_highest=force_highest
+    )
+
+
+def _y_dot(Y, H, force_highest: bool = False):
+    """(ny, 2ny) @ (2ny, 2nx) plain matmul for the MXU y contraction."""
+    return _dot_bf16x3(
+        Y, H, (((1,), (0,)), ((), ())), force_highest=force_highest
     )
 
 
 def _roll(x, shift: int, axis: int):
     n = x.shape[axis]
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
+
+
+def _y_stage_mxu(E, F, yb_ref, ny_p: int):
+    """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as ONE
+    bf16x3 matmul per z-plane, ``[C|D] = [Wm|Ws] @ [[E|F],[F|0]]`` —
+    and the (bz, ny, 2nx) result IS the x-dot operand (the lane concat
+    the dot path otherwise builds explicitly).  ``yb_ref`` holds the
+    dense ``_band_table_y_mxu`` table."""
+    Y = yb_ref[:ny_p]
+    zero = jnp.zeros(E.shape[1:], jnp.float32)
+    rows = []
+    for z in range(E.shape[0]):
+        H = jnp.concatenate(
+            [
+                jnp.concatenate([E[z], F[z]], axis=1),
+                jnp.concatenate([F[z], zero], axis=1),
+            ],
+            axis=0,
+        )
+        rows.append(_y_dot(Y, H))
+    return jnp.stack(rows)
 
 
 def _slab_dma(u_hbm, scratch, sem, p: int, z_off: int, bz: int):
@@ -536,14 +623,16 @@ def _make_kernel_ms_3d_yb(p: int):
 
 
 def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
-                    canon: bool = False):
+                    canon: bool = False, y_mxu: bool = False):
     """``z_off``: element offset of the data region on the slab axis minus
     p (0 for the classic layout with a p-ghost, bz for the halo-block
     padded layout used inside the V-cycle).  With ``x_roll`` the x
     contraction uses lane rolls against a band table instead of the MXU
     dot (``xmat_ref`` then holds ``_band_table_x``).  ``canon``: zero-halo
     canonical layout — clamped DMA windows (``_slab_dma_canon``) paired
-    with the shift-baked z table (``_band_table_z_canon``)."""
+    with the shift-baked z table (``_band_table_z_canon``).  ``y_mxu``:
+    the y contraction runs on the MXU (``_y_stage_mxu``; ``yb_ref`` then
+    holds the dense ``_band_table_y_mxu`` table)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
@@ -551,6 +640,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
         ny_p = out_ref.shape[2]
+        nx_p = out_ref.shape[3]
         if canon:
             scratch = _slab_dma_canon(u_hbm, scratch2, sem, p, bz)
         else:
@@ -568,17 +658,22 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
             Zk = ws * plane if Zk is None else Zk + ws * plane
         E = a * Zm + b * Zk
         F = b * Zm
-        C = None
-        D = None
-        for k in range(nb):
-            rE = _roll(E, p - k, 1)
-            rF = _roll(F, p - k, 1)
-            wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
-            ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
-            c_term = wm * rE + ws * rF
-            d_term = wm * rF
-            C = c_term if C is None else C + c_term
-            D = d_term if D is None else D + d_term
+        if y_mxu:
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            C = CD[:, :, :nx_p]
+            D = CD[:, :, nx_p:]
+        else:
+            C = None
+            D = None
+            for k in range(nb):
+                rE = _roll(E, p - k, 1)
+                rF = _roll(F, p - k, 1)
+                wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
+                ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
+                c_term = wm * rE + ws * rF
+                d_term = wm * rF
+                C = c_term if C is None else C + c_term
+                D = d_term if D is None else D + d_term
         if x_roll:
             out = None
             for k in range(nb):
@@ -589,6 +684,8 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
                 t = wm * rc + ws * rd
                 out = t if out is None else out + t
             out_ref[0] = out
+        elif y_mxu:
+            out_ref[0] = _x_dot(CD, xmat_ref[:])
         else:
             out_ref[0] = _x_dot(
                 jnp.concatenate([C, D], axis=-1), xmat_ref[:]
@@ -598,7 +695,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
 
 
 def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
-                       canon: bool = False):
+                       canon: bool = False, y_mxu: bool = False):
     """Dual-output: M u and K u from one slab pass (for the outer-system
     vmult, reference main.cc:1014-1028)."""
     nb = 2 * p + 1
@@ -624,17 +721,27 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
             ws = zb[:, nb + k].reshape(bz, 1, 1)
             Zm = wm * plane if Zm is None else Zm + wm * plane
             Zk = ws * plane if Zk is None else Zk + ws * plane
-        Cm = None
-        Ck = None
-        for k in range(nb):
-            rm = _roll(Zm, p - k, 1)
-            rk = _roll(Zk, p - k, 1)
-            wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
-            ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
-            cm_term = wm * rm
-            ck_term = wm * rk + ws * rm
-            Cm = cm_term if Cm is None else Cm + cm_term
-            Ck = ck_term if Ck is None else Ck + ck_term
+        if y_mxu:
+            # E=Zk, F=Zm: CD = [Wm Zk + Ws Zm | Wm Zm] = [Ck | Cm]
+            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p)
+            Ck = CD[:, :, :nx_p]
+            Cm = CD[:, :, nx_p:]
+            if not x_roll:
+                outk_ref[0] = _x_dot(CD, xmat_ref[:])
+                outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
+                return
+        else:
+            Cm = None
+            Ck = None
+            for k in range(nb):
+                rm = _roll(Zm, p - k, 1)
+                rk = _roll(Zk, p - k, 1)
+                wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
+                ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
+                cm_term = wm * rm
+                ck_term = wm * rk + ws * rm
+                Cm = cm_term if Cm is None else Cm + cm_term
+                Ck = ck_term if Ck is None else Ck + ck_term
         if x_roll:
             om = None
             ok = None
@@ -764,22 +871,24 @@ def _geometry_yb(u, p: int, nx_p: int, by: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+    jax.jit,
+    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
 )
 def _fused_apply(
-    w, zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0
+    w, zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0,
+    y_mxu=False,
 ):
     # Mosaic wants 32-bit index arithmetic; trace with the x64 default off
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
         return _fused_apply_impl(
-            w, zb, yb, xmat, u, p, dim, interpret, x_roll, by
+            w, zb, yb, xmat, u, p, dim, interpret, x_roll, by, y_mxu
         )
 
 
 def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
-                      by=0):
+                      by=0, y_mxu=False):
     q = u.shape[0]
     nx_p = xmat.shape[1]
     if dim == 3 and by:
@@ -811,7 +920,7 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
     if dim == 3:
         nz, ny, nx = u.shape[1:]
         out = pl.pallas_call(
-            _make_kernel_3d(p, x_roll=x_roll),
+            _make_kernel_3d(p, x_roll=x_roll, y_mxu=y_mxu),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -847,21 +956,23 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+    jax.jit,
+    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
 )
 def _fused_ms_apply(
-    zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0
+    zb, yb, xmat, u, *, p, dim, interpret=False, x_roll=False, by=0,
+    y_mxu=False,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
         return _fused_ms_apply_impl(
-            zb, yb, xmat, u, p, dim, interpret, x_roll, by
+            zb, yb, xmat, u, p, dim, interpret, x_roll, by, y_mxu
         )
 
 
 def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
-                         by=0):
+                         by=0, y_mxu=False):
     q = u.shape[0]
     nx_p = xmat.shape[1]
     if dim == 3 and by:
@@ -897,7 +1008,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
         outm, outk = pl.pallas_call(
-            _make_kernel_ms_3d(p, x_roll=x_roll),
+            _make_kernel_ms_3d(p, x_roll=x_roll, y_mxu=y_mxu),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -933,7 +1044,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
 
 
 def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
-            by: int = 0):
+            by: int = 0, y_mxu: bool = False):
     nx_p = _nx_pad(u.shape[-1], p, dim)
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -951,7 +1062,11 @@ def _tables(ops: LevelOps, u, p: int, dim: int, x_roll: bool = False,
         ny = u.shape[2]
         ny_p = (-(-ny // by)) * by if by else _ceil(ny + p, 8)
         zb = _band_table(ops, nzp)
-        yb = _band_table(ops, ny_p)
+        yb = (
+            _band_table_y_mxu(ops, ny_p)
+            if y_mxu
+            else _band_table(ops, ny_p)
+        )
         return zb, yb, xmat
     ny_p = _ceil(u.shape[1] + p, 8)
     return None, _band_table(ops, ny_p), xmat
@@ -978,11 +1093,14 @@ def fused_stencil_apply(
     w = jnp.stack([a_arr, b_arr], axis=1)
     by = force_yb or yb_for(u.shape[1:], p, dim)
     x_roll = (not by) and _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
-    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by)
+    y_mxu = dim == 3 and _y_mxu_ok(
+        p, dim, _ceil(u.shape[2] + p, 8), _nx_pad(u.shape[-1], p, dim), by
+    )
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by, y_mxu)
     if dim == 3:
         out = _fused_apply(
             w, zb, yb, xmat, u, p=p, dim=dim, interpret=interpret,
-            x_roll=x_roll, by=by,
+            x_roll=x_roll, by=by, y_mxu=y_mxu,
         )
     else:
         out = _fused_apply(
@@ -999,10 +1117,13 @@ def fused_mass_stiffness_apply(
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or yb_for(u.shape[1:], p, dim) if dim == 3 else 0
     x_roll = (not by) and _x_roll_ok(p, dim, _ceil(u.shape[-1] + p, 128))
-    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by)
+    y_mxu = dim == 3 and _y_mxu_ok(
+        p, dim, _ceil(u.shape[2] + p, 8), _nx_pad(u.shape[-1], p, dim), by
+    )
+    zb, yb, xmat = _tables(ops, u, p, dim, x_roll, by, y_mxu)
     return _fused_ms_apply(
         zb, yb, xmat, u, p=p, dim=dim, interpret=interpret, x_roll=x_roll,
-        by=by,
+        by=by, y_mxu=y_mxu,
     )
 
 
@@ -1451,7 +1572,8 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
 # table.)
 
 
-def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
+def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool,
+                  y_mxu: bool = False):
     nx_p = shape_c[-1]
     if x_roll:
         xmat = _band_table_x(ops, nx_p)
@@ -1465,16 +1587,21 @@ def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool):
         )
     if dim == 3:
         zb = _band_table(ops, shape_c[1])
-        yb = _band_table(ops, shape_c[2])
+        yb = (
+            _band_table_y_mxu(ops, shape_c[2])
+            if y_mxu
+            else _band_table(ops, shape_c[2])
+        )
         return zb, yb, xmat
     return None, _band_table(ops, shape_c[1]), xmat
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+    jax.jit,
+    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
 )
 def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
-                       by=0):
+                       by=0, y_mxu=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
@@ -1505,7 +1632,7 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
             nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
             return pl.pallas_call(
-                _make_kernel_3d(p, x_roll=x_roll, canon=True),
+                _make_kernel_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1538,14 +1665,14 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
         )(w, yb, xmat, u_c)
 
 
-def _check_canon_tables(tables, x_roll: bool):
-    """Guard the threaded-tables contract: the xmat layout must match the
-    wrapper's resolved x-contraction.  The y-blocked canonical kernels
-    always use the dense xmat (wrappers force x_roll off when by > 0),
-    while ``canon_tables`` chooses the layout from the canonical shape
-    alone — consistent for every shape the solvers produce (cubic grids),
-    but nothing upstream enforces it, so fail loudly rather than feed a
-    band table to the dot kernel (wrong shapes/results)."""
+def _check_canon_tables(tables, x_roll: bool, y_mxu: bool = False):
+    """Guard the threaded-tables contract: the xmat/yb layouts must match
+    the wrapper's resolved contraction paths.  The y-blocked canonical
+    kernels always use the dense xmat (wrappers force x_roll off when
+    by > 0), while ``canon_tables`` chooses the layout from the canonical
+    shape alone — consistent for every shape the solvers produce (cubic
+    grids), but nothing upstream enforces it, so fail loudly rather than
+    feed a band table to a dot kernel (wrong shapes/results)."""
     if tables is None:
         return
     xmat = tables[2]
@@ -1558,6 +1685,17 @@ def _check_canon_tables(tables, x_roll: bool):
             f"but the kernel resolved x_roll={x_roll} "
             f"(xmat shape {tuple(xmat.shape)})"
         )
+    yb = tables[1]
+    if yb is not None:
+        # MXU y table: dense (ny_p, 2*ny_p); band: (>=ny_p, ~128)
+        yb_dense = yb.shape[1] == 2 * yb.shape[0]
+        if yb_dense != y_mxu:
+            raise ValueError(
+                f"canonical kernel tables were built for "
+                f"{'the MXU' if yb_dense else 'the roll'} y path "
+                f"but the kernel resolved y_mxu={y_mxu} "
+                f"(yb shape {tuple(yb.shape)})"
+            )
 
 
 def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
@@ -1572,7 +1710,8 @@ def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
     pure function of the canonical shape."""
     shape_c = (0,) + canon_shape(spatial, p, dim)  # leading batch unused
     x_roll = _x_roll_ok(p, dim, shape_c[-1])
-    return _tables_canon(ops, shape_c, p, dim, x_roll)
+    y_mxu = _y_mxu_canon(shape_c, p, dim)
+    return _tables_canon(ops, shape_c, p, dim, x_roll, y_mxu)
 
 
 def fused_stencil_apply_canon(
@@ -1589,23 +1728,25 @@ def fused_stencil_apply_canon(
     w = jnp.stack([a_arr, b_arr], axis=1)
     by = force_yb or _canon_by(u_c, p, dim)
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
-    _check_canon_tables(tables, x_roll)
+    y_mxu = (not by) and _y_mxu_canon(u_c.shape, p, dim)
+    _check_canon_tables(tables, x_roll, y_mxu)
     zb, yb, xmat = (
         tables
         if tables is not None
-        else _tables_canon(ops, u_c.shape, p, dim, x_roll)
+        else _tables_canon(ops, u_c.shape, p, dim, x_roll, y_mxu)
     )
     return _fused_apply_canon(
         w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
-        x_roll=x_roll, by=by,
+        x_roll=x_roll, by=by, y_mxu=y_mxu,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "interpret", "x_roll", "by")
+    jax.jit,
+    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
 )
 def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
-                          by=0):
+                          by=0, y_mxu=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
@@ -1639,7 +1780,8 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             )
             return pl.pallas_call(
-                _make_kernel_ms_3d(p, x_roll=x_roll, canon=True),
+                _make_kernel_ms_3d(p, x_roll=x_roll, canon=True,
+                                   y_mxu=y_mxu),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1677,15 +1819,16 @@ def fused_mass_stiffness_apply_canon(
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or _canon_by(u_c, p, dim, kind="ms")
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
-    _check_canon_tables(tables, x_roll)
+    y_mxu = (not by) and _y_mxu_canon(u_c.shape, p, dim)
+    _check_canon_tables(tables, x_roll, y_mxu)
     zb, yb, xmat = (
         tables
         if tables is not None
-        else _tables_canon(ops, u_c.shape, p, dim, x_roll)
+        else _tables_canon(ops, u_c.shape, p, dim, x_roll, y_mxu)
     )
     return _fused_ms_apply_canon(
         zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
-        x_roll=x_roll, by=by,
+        x_roll=x_roll, by=by, y_mxu=y_mxu,
     )
 
 
@@ -1706,23 +1849,25 @@ def fused_cheb_iter_canon(
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
     by = force_yb or _canon_by(d_c, p, dim, kind="cheb")
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
-    _check_canon_tables(tables, x_roll)
+    y_mxu = (not by) and _y_mxu_canon(d_c.shape, p, dim)
+    _check_canon_tables(tables, x_roll, y_mxu)
     zb, yb, xmat = (
         tables
         if tables is not None
-        else _tables_canon(ops, d_c.shape, p, dim, x_roll)
+        else _tables_canon(ops, d_c.shape, p, dim, x_roll, y_mxu)
     )
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
-        interpret=interpret, x_roll=x_roll, by=by,
+        interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "interpret", "x_roll", "by")
+    jax.jit, static_argnames=("p", "interpret", "x_roll", "by", "y_mxu")
 )
 def _fused_cheb_canon(
-    w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll, by=0
+    w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll, by=0,
+    y_mxu=False,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -1756,7 +1901,7 @@ def _fused_cheb_canon(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
         return pl.pallas_call(
-            _make_kernel_cheb_3d(p, x_roll=x_roll, canon=True),
+            _make_kernel_cheb_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1840,10 +1985,12 @@ def unpad_field(u_pad, spatial, p: int, dim: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "dim", "spatial", "interpret", "x_roll")
+    jax.jit,
+    static_argnames=("p", "dim", "spatial", "interpret", "x_roll", "y_mxu"),
 )
 def _fused_apply_padded(
-    w, zb, yb, xmat, u_pad, *, p, dim, spatial, interpret=False, x_roll=False
+    w, zb, yb, xmat, u_pad, *, p, dim, spatial, interpret=False,
+    x_roll=False, y_mxu=False,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -1855,7 +2002,8 @@ def _fused_apply_padded(
             nzp = u_pad.shape[1] - 2 * bz
             ny_p = u_pad.shape[2]
             out = pl.pallas_call(
-                _make_kernel_3d(p, z_off=bz - p, x_roll=x_roll),
+                _make_kernel_3d(p, z_off=bz - p, x_roll=x_roll,
+                                y_mxu=y_mxu),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1913,6 +2061,7 @@ def fused_stencil_apply_padded(
     w = jnp.stack([a_arr, b_arr], axis=1)
     nx_p = u_pad.shape[-1]
     x_roll = _x_roll_ok(p, dim, nx_p)
+    y_mxu = dim == 3 and _y_mxu_ok(p, dim, u_pad.shape[2], nx_p, 0)
 
     def _build_padded_tables():
         if x_roll:
@@ -1927,17 +2076,18 @@ def fused_stencil_apply_padded(
             )
         if dim == 3:
             bz_ = _BZ if spatial[0] >= _BZ else 8
-            return (
-                _band_table(ops, u_pad.shape[1] - 2 * bz_),
-                _band_table(ops, u_pad.shape[2]),
-                xmat,
+            yb = (
+                _band_table_y_mxu(ops, u_pad.shape[2])
+                if y_mxu
+                else _band_table(ops, u_pad.shape[2])
             )
+            return _band_table(ops, u_pad.shape[1] - 2 * bz_), yb, xmat
         return None, _band_table(ops, u_pad.shape[1]), xmat
 
     zb, yb, xmat = _build_padded_tables()
     return _fused_apply_padded(
         w, zb, yb, xmat, u_pad, p=p, dim=dim, spatial=tuple(spatial),
-        interpret=interpret, x_roll=x_roll,
+        interpret=interpret, x_roll=x_roll, y_mxu=y_mxu,
     )
 
 
@@ -1955,7 +2105,8 @@ def fused_stencil_apply_padded(
 # discipline as fused_stencil_apply_padded).
 
 
-def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False):
+def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
+                         y_mxu: bool = False):
     nb = 2 * p + 1
 
     def kernel(
@@ -1966,6 +2117,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False):
         iz = pl.program_id(1)
         bz = r_out.shape[1]
         ny_p = r_out.shape[2]
+        nx_p = r_out.shape[3]
         if canon:
             scratch = _slab_dma_canon(d_hbm, scratch2, sem, p, bz)
         else:
@@ -1985,17 +2137,22 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False):
             Zk = ws * plane if Zk is None else Zk + ws * plane
         E = a * Zm + b * Zk
         F = b * Zm
-        C = None
-        D = None
-        for k in range(nb):
-            rE = _roll(E, p - k, 1)
-            rF = _roll(F, p - k, 1)
-            wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
-            ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
-            c_term = wm * rE + ws * rF
-            d_term = wm * rF
-            C = c_term if C is None else C + c_term
-            D = d_term if D is None else D + d_term
+        if y_mxu:
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            C = CD[:, :, :nx_p]
+            D = CD[:, :, nx_p:]
+        else:
+            C = None
+            D = None
+            for k in range(nb):
+                rE = _roll(E, p - k, 1)
+                rF = _roll(F, p - k, 1)
+                wm = yb_ref[:ny_p, k].reshape(1, ny_p, 1)
+                ws = yb_ref[:ny_p, nb + k].reshape(1, ny_p, 1)
+                c_term = wm * rE + ws * rF
+                d_term = wm * rF
+                C = c_term if C is None else C + c_term
+                D = d_term if D is None else D + d_term
         if x_roll:
             Ad = None
             for k in range(nb):
@@ -2005,6 +2162,8 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False):
                 ws = xmat_ref[nb + k].reshape(1, 1, -1)
                 t = wm * rc + ws * rd
                 Ad = t if Ad is None else Ad + t
+        elif y_mxu:
+            Ad = _x_dot(CD, xmat_ref[:])
         else:
             Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:])
         r_new = r_ref[0] - Ad
@@ -2038,6 +2197,7 @@ def fused_cheb_iter_padded(
     bz = _BZ if spatial[0] >= _BZ else 8
     nzp = d_pad.shape[1] - 2 * bz
     ny_p = d_pad.shape[2]
+    y_mxu = _y_mxu_ok(p, dim, ny_p, nx_p, 0)
 
     def _build_cheb_tables():
         if x_roll:
@@ -2050,7 +2210,12 @@ def fused_cheb_iter_padded(
                 ],
                 axis=0,
             )
-        return _band_table(ops, nzp), _band_table(ops, ny_p), xmat
+        yb = (
+            _band_table_y_mxu(ops, ny_p)
+            if y_mxu
+            else _band_table(ops, ny_p)
+        )
+        return _band_table(ops, nzp), yb, xmat
 
     zb, yb, xmat = _build_cheb_tables()
 
@@ -2062,7 +2227,7 @@ def fused_cheb_iter_padded(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz + 1, 0, 0)
         )
         r_new, d_new, x_new = pl.pallas_call(
-            _make_kernel_cheb_3d(p, x_roll=x_roll),
+            _make_kernel_cheb_3d(p, x_roll=x_roll, y_mxu=y_mxu),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -17,27 +17,28 @@ import jax
 import jax.numpy as jnp
 
 
-def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3):
+def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3,
+            op_mode="", dt=0.1):
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.problem import HeatProblem
     from dealii_spirk_tpu.schemes import make_scheme
 
-    params = Parameters.from_dict(
-        {
-            "FEDegree": p,
-            "NRefinements": ref,
-            "TimeIntegrationScheme": scheme,
-            "IRKStages": q,
-            "TimeStepSize": 0.1,
-            "EndTime": 0.1 * (n_steps + 1),
-            "OperatorType": "MatrixFree",
-            "BlockPreconditionerType": "GMG",
-            "InnerTolerance": inner_tol,
-            "OuterTolerance": outer_tol,
-            "Precision": "f32",
-        },
-        dim=3,
-    )
+    raw = {
+        "FEDegree": p,
+        "NRefinements": ref,
+        "TimeIntegrationScheme": scheme,
+        "IRKStages": q,
+        "TimeStepSize": dt,
+        "EndTime": dt * (n_steps + 1),
+        "OperatorType": "MatrixFree",
+        "BlockPreconditionerType": "GMG",
+        "InnerTolerance": inner_tol,
+        "OuterTolerance": outer_tol,
+        "Precision": "f32",
+    }
+    if op_mode:
+        raw["OperatorMode"] = op_mode
+    params = Parameters.from_dict(raw, dim=3)
     problem = HeatProblem(params)
     scheme_o = make_scheme(problem, params)
     tau = params.time_step_size
@@ -76,6 +77,8 @@ def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3):
         "q": q,
         "p": p,
         "inner_tol": inner_tol,
+        "dt": dt,
+        "op_mode": op_mode or params.operator_mode,
         "n_dofs": problem.space.n_dofs,
         "ms_per_step": round(ms, 2),
         "n_outer": float(jnp.sum(n_outer)),
@@ -84,21 +87,30 @@ def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3):
     }
 
 
+# Each entry: kwargs for run_one.  Reference axes (all at q=4, degree 1,
+# refinement 8 in scripts/default.json; sized to a single v5e chip here):
+#   p   — scripts/parameters_p.py:22-31, degree in {1..4}; both the
+#         default (pallas) and the XLA stencil path are timed so the
+#         fused-kernel speedup at p>=2 is on the record (VERDICT r2 #1)
+#   q   — scripts/parameters_all_q.py:31-52
+#   tol — scripts/parameters_tolerance.py:21-30, inner in {0,1e-1..1e-4}
+#   dt  — scripts/parameters_dt.py:23-32, dt in {1e-3..1e1},
+#         EndTime = 10*dt, InnerTolerance 1e-8 (f32-floored, documented)
+_B = {"scheme": "irk_batched", "ref": 6, "q": 4, "p": 1}
 GROUPS = {
-    # reference parameters_p.py:22-31 (degree sweep)
-    "p": [("irk_batched", 6, 4, p) for p in (1, 2, 3, 4)],
-    # reference parameters_all_q.py:31-52 (q sweep; 4, 8 recorded r1)
-    "q": [("irk_batched", 6, q, 1) for q in (2, 3, 6)],
-    # reference parameters_tolerance.py:21-30
-    "tol": [
-        ("irk_batched", 6, 4, 1, 1e-2),
-        ("irk_batched", 6, 4, 1, 1e-4),
-    ],
+    "p": [{**_B, "p": p, "op_mode": m}
+          for p in (1, 2, 3, 4) for m in ("", "stencil")],
+    "q": [{**_B, "q": q} for q in (2, 3, 6, 8)],
+    "tol": [{**_B, "inner_tol": t} for t in (1e-1, 1e-2, 1e-3, 1e-4)],
+    "dt": [{**_B, "dt": dt, "inner_tol": 1e-8, "n_steps": 9}
+           for dt in (1e-3, 1e-2, 1e-1, 1e0, 1e1)]
+          + [{**_B, "p": 3, "dt": dt, "inner_tol": 1e-8, "n_steps": 9}
+             for dt in (1e-2, 1e-1, 1e0)],
     "complex": [
-        ("complex_irk_batched", 6, 4, 1),
-        ("complex_irk_batched", 6, 4, 4),
+        {**_B, "scheme": "complex_irk_batched"},
+        {**_B, "scheme": "complex_irk_batched", "p": 4},
     ],
-    "r8": [("irk_batched", 8, 4, 1)],
+    "r8": [{**_B, "ref": 8}],
 }
 
 
@@ -106,14 +118,11 @@ def main():
     groups = sys.argv[1:] or ["p", "q", "tol", "complex"]
     print(f"device: {jax.devices()[0]}", flush=True)
     for g in groups:
-        for cfg in GROUPS[g]:
-            scheme, ref, q, p, *rest = cfg
-            tol = rest[0] if rest else 0.0
+        for kw in GROUPS[g]:
             try:
-                row = run_one(scheme, ref, q, p, inner_tol=tol)
+                row = run_one(**kw)
             except Exception as e:
-                row = {"scheme": scheme, "ref": ref, "q": q, "p": p,
-                       "error": str(e)[:200]}
+                row = {**kw, "error": str(e)[:200]}
             print(json.dumps(row), flush=True)
 
 
