@@ -121,16 +121,18 @@ def _band_table_x(ops: LevelOps, n_cols: int):
 
 
 def _band_table_y_mxu(ops: LevelOps, ny_p: int):
-    """(ny_p, 2*ny_p) dense ``[Wm | Ws]`` lhs for the MXU y contraction
-    (zero-padded beyond the m physical rows; built in-graph, see
-    ``_dense_padded``).  M and K are symmetric, so no transpose question
-    arises."""
-    return jnp.concatenate(
+    """(2, ny_p, ny_p) stacked dense ``[Wm, Ws]`` lhs for the MXU y
+    contraction (zero-padded beyond the m physical rows; built in-graph,
+    see ``_dense_padded``).  Stacked square blocks rather than one
+    (ny_p, 2*ny_p) slab: each matmul then contracts over exactly ny_p,
+    so Mosaic never K-splits the bf16 lhs into an offset column slice
+    (which it rejects with "Bad lhs type" on v5e).  M and K are
+    symmetric, so no transpose question arises."""
+    return jnp.stack(
         [
             _dense_padded(ops.mass_band, ny_p),
             _dense_padded(ops.stiff_band, ny_p),
-        ],
-        axis=1,
+        ]
     )
 
 
@@ -260,25 +262,31 @@ def _dot_bf16x3(lhs, rhs, dn, force_highest: bool = False):
     (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is ~5e-6 relative),
     falling back to HIGHEST (six f32-emulation passes) where Mosaic
     rejects bf16.  Shared by the x contraction and the MXU y path."""
-    # Mosaic rejects bf16 matmuls with a single-lane-tile output
-    # ("Bad lhs type" at N=128 on v5e) — seen both for the forced-dot
-    # p=1 probe and for p>=2 with the tight lane extent; 256-wide
-    # outputs compile fine.
-    if rhs.shape[-1] < 256:
-        force_highest = True
+    # (Historical note: earlier rounds saw Mosaic reject these dots —
+    # "Bad lhs type" — and gated on output width.  Root cause was the
+    # package-global jax_default_matmul_precision=highest leaking an
+    # fp32 contract precision onto bf16 operands; with the explicit
+    # DEFAULT precision below every shape compiles, including 128-wide
+    # outputs.)
     if _BF16X3 and not force_highest:
         ch = lhs.astype(jnp.bfloat16)
         cl = (lhs - ch.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = rhs.astype(jnp.bfloat16)
         xl = (rhs - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # explicit DEFAULT precision: the package sets
+        # jax_default_matmul_precision=highest globally (f64 CPU parity),
+        # and Mosaic rejects bf16 operands with an fp32 contract
+        # precision ("Bad lhs type") — the root cause of every earlier
+        # in-kernel bf16 rejection (see _y_stage_mxu history).
+        _DEF = jax.lax.Precision.DEFAULT
         out = jax.lax.dot_general(
-            ch, xh, dn, preferred_element_type=jnp.float32
+            ch, xh, dn, preferred_element_type=jnp.float32, precision=_DEF
         )
         out = out + jax.lax.dot_general(
-            ch, xl, dn, preferred_element_type=jnp.float32
+            ch, xl, dn, preferred_element_type=jnp.float32, precision=_DEF
         )
         return out + jax.lax.dot_general(
-            cl, xh, dn, preferred_element_type=jnp.float32
+            cl, xh, dn, preferred_element_type=jnp.float32, precision=_DEF
         )
     return jax.lax.dot_general(
         lhs, rhs, dn, preferred_element_type=jnp.float32, precision=_HIGH
@@ -303,24 +311,27 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
-def _y_stage_mxu(E, F, yb_ref, ny_p: int):
-    """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as ONE
-    bf16x3 matmul per z-plane, ``[C|D] = [Wm|Ws] @ [[E|F],[F|0]]`` —
+def _y_stage_mxu(E, F, yb_ref, ny_p: int, h_ref):
+    """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as two
+    bf16x3 matmuls per z-plane, ``[C|D] = Wm @ [E|F] + Ws @ [F|0]`` —
     and the (bz, ny, 2nx) result IS the x-dot operand (the lane concat
     the dot path otherwise builds explicitly).  ``yb_ref`` holds the
-    dense ``_band_table_y_mxu`` table."""
-    Y = yb_ref[:ny_p]
+    stacked square ``_band_table_y_mxu`` table; contracting over ny_p
+    per matmul (not 2*ny_p) keeps Mosaic from K-splitting the bf16 lhs
+    into an offset column slice it cannot lower ("Bad lhs type").
+    ``h_ref`` is the (2, ny_p, 2*nx) VMEM rhs staging scratch."""
+    Wm = yb_ref[0]
+    Ws = yb_ref[1]
     zero = jnp.zeros(E.shape[1:], jnp.float32)
     rows = []
+    # Staging the concatenated rhs through VMEM keeps Mosaic from
+    # distributing the matmul over the concat blocks (that split makes
+    # 128-lane bf16 matmul tiles which Mosaic rejects with "Bad lhs
+    # type").
     for z in range(E.shape[0]):
-        H = jnp.concatenate(
-            [
-                jnp.concatenate([E[z], F[z]], axis=1),
-                jnp.concatenate([F[z], zero], axis=1),
-            ],
-            axis=0,
-        )
-        rows.append(_y_dot(Y, H))
+        H1 = jnp.concatenate([E[z], F[z]], axis=1)
+        H2 = jnp.concatenate([F[z], zero], axis=1)
+        rows.append(_y_dot(Wm, H1) + _y_dot(Ws, H2))
     return jnp.stack(rows)
 
 
@@ -362,11 +373,16 @@ def _slab_dma(u_hbm, scratch, sem, p: int, z_off: int, bz: int):
     return scratch.at[slot]
 
 
-def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
-    return [
+def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int,
+                  y_mxu: bool = False):
+    scr = [
         pltpu.VMEM((2, bz + 2 * p, ny_p, nx_p), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if y_mxu:
+        # rhs staging for the MXU y contraction (see _y_stage_mxu)
+        scr.append(pltpu.VMEM((2, ny_p, 2 * nx_p), jnp.float32))
+    return scr
 
 
 def _slab_dma_canon(u_hbm, scratch, sem, p: int, bz: int):
@@ -567,13 +583,7 @@ def _make_kernel_3d_yb(p: int):
             d_term = wm * sF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        # bf16x3 on the rolled/sliced operands trips Mosaic ("Bad lhs
-        # type" at (8,128,512)x(512,256) on v5e) — the 6-pass HIGHEST
-        # dot compiles and the kernel still beats XLA 3.3x at m=255
-        out_ref[0] = _x_dot(
-            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
-            force_highest=True,
-        )
+        out_ref[0] = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:])
 
     return kernel
 
@@ -612,11 +622,9 @@ def _make_kernel_ms_3d_yb(p: int):
             ck_term = wm * rk + ws * rm
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
-        # HIGHEST for the same Mosaic bf16 reason as _make_kernel_3d_yb
-        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], force_highest=True)
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
         outk_ref[0] = _x_dot(
-            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:],
-            force_highest=True,
+            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:]
         )
 
     return kernel
@@ -635,7 +643,8 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
     holds the dense ``_band_table_y_mxu`` table)."""
     nb = 2 * p + 1
 
-    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2,
+               sem, *scr):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
@@ -659,7 +668,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p, scr[0])
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -701,7 +710,8 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
     nb = 2 * p + 1
 
     def kernel(
-        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2, sem
+        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2,
+        sem, *scr
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
@@ -723,7 +733,7 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
             Zk = ws * plane if Zk is None else Zk + ws * plane
         if y_mxu:
             # E=Zk, F=Zm: CD = [Wm Zk + Ws Zm | Wm Zm] = [Ck | Cm]
-            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p)
+            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p, scr[0])
             Ck = CD[:, :, :nx_p]
             Cm = CD[:, :, nx_p:]
             if not x_roll:
@@ -933,7 +943,7 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             ),
             out_shape=jax.ShapeDtypeStruct((q, nzp, ny_p, nx_p), jnp.float32),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
             interpret=interpret,
         )(w, zb, yb, xmat, u_pad)
         return out[:, :nz, :ny, :nx]
@@ -1018,7 +1028,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
             ],
             out_specs=(spec, spec),
             out_shape=(shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
             interpret=interpret,
         )(zb, yb, xmat, u_pad)
         sl = (slice(None), slice(None, nz), slice(None, ny), slice(None, nx))
@@ -1456,8 +1466,7 @@ def _make_kernel_3d_canon_yb(p: int):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         out_ref[0] = _x_dot(
-            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
-            force_highest=True,
+            jnp.concatenate([C, D], axis=-1), xmat_ref[:]
         )
 
     return kernel
@@ -1496,10 +1505,9 @@ def _make_kernel_ms_3d_canon_yb(p: int):
             ck_term = wm * rk + ws * rm
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
-        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], force_highest=True)
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
         outk_ref[0] = _x_dot(
-            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:],
-            force_highest=True,
+            jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:]
         )
 
     return kernel
@@ -1546,8 +1554,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
         Ad = _x_dot(
-            jnp.concatenate([C, D], axis=-1), xmat_ref[:],
-            force_highest=True,
+            jnp.concatenate([C, D], axis=-1), xmat_ref[:]
         )
         r_new = r_ref[0] - Ad
         z = invd_ref[0] * r_new
@@ -1645,7 +1652,7 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                     (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
                 ),
                 out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
                 interpret=interpret,
             )(w, zb, yb, xmat, u_c)
         ny_p = u_c.shape[1]
@@ -1687,8 +1694,8 @@ def _check_canon_tables(tables, x_roll: bool, y_mxu: bool = False):
         )
     yb = tables[1]
     if yb is not None:
-        # MXU y table: dense (ny_p, 2*ny_p); band: (>=ny_p, ~128)
-        yb_dense = yb.shape[1] == 2 * yb.shape[0]
+        # MXU y table: stacked dense (2, ny_p, ny_p); band: 2D
+        yb_dense = yb.ndim == 3
         if yb_dense != y_mxu:
             raise ValueError(
                 f"canonical kernel tables were built for "
@@ -1791,7 +1798,7 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                 ],
                 out_specs=(spec, spec),
                 out_shape=(shape, shape),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
                 interpret=interpret,
             )(zb, yb, xmat, u_c)
         ny_p = u_c.shape[1]
@@ -1915,7 +1922,7 @@ def _fused_cheb_canon(
             ],
             out_specs=(blocked, blocked, blocked),
             out_shape=(shape, shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
             interpret=interpret,
         )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
 
@@ -2019,7 +2026,7 @@ def _fused_apply_padded(
                     lambda iq, iz: _i32(iq, iz + 1, 0, 0),
                 ),
                 out_shape=jax.ShapeDtypeStruct(u_pad.shape, jnp.float32),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
                 interpret=interpret,
             )(w, zb, yb, xmat, u_pad)
             # the kernel never writes the halo blocks; uninitialized
@@ -2111,7 +2118,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
 
     def kernel(
         w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
-        r_out, d_out, x_out, scratch2, sem,
+        r_out, d_out, x_out, scratch2, sem, *scr,
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
@@ -2138,7 +2145,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p, scr[0])
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -2241,7 +2248,7 @@ def fused_cheb_iter_padded(
             ],
             out_specs=(blocked, blocked, blocked),
             out_shape=(shape, shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
             interpret=interpret,
         )(w, zb, yb, xmat, d_pad, r_pad, x_pad, invd_pad)
     # keep the DMA-adjacent planes of the next iteration's operand zero

@@ -101,7 +101,13 @@ GROUPS = {
     "p": [{**_B, "p": p, "op_mode": m}
           for p in (1, 2, 3, 4) for m in ("", "stencil")],
     "q": [{**_B, "q": q} for q in (2, 3, 6, 8)],
-    "tol": [{**_B, "inner_tol": t} for t in (1e-1, 1e-2, 1e-3, 1e-4)],
+    # the reference's tolerance sweep drives the NON-batched schemes
+    # (parameters_tolerance.py:23-28 uses irk/spirk) — the batched
+    # preconditioner is a single block V-cycle that ignores
+    # InnerTolerance by design (main.cc:1115-1119), so an irk_batched
+    # ladder is flat by construction
+    "tol": [{**_B, "scheme": "irk", "inner_tol": t}
+            for t in (0.0, 1e-1, 1e-2, 1e-3, 1e-4)],
     "dt": [{**_B, "dt": dt, "inner_tol": 1e-8, "n_steps": 9}
            for dt in (1e-3, 1e-2, 1e-1, 1e0, 1e1)]
           + [{**_B, "p": 3, "dt": dt, "inner_tol": 1e-8, "n_steps": 9}
