@@ -163,7 +163,13 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--dim", type=int, default=3, choices=(2, 3))
     parser.add_argument("--min-ref", type=int, default=3)
-    parser.add_argument("--max-ref", type=int, default=6)
+    parser.add_argument(
+        "--max-ref", type=int, default=None,
+        help="default: 8 on a TPU backend (one past the measured v5e "
+        "HBM boundary for the 8-component modes, so the sweep reports "
+        "the 'oom' rows itself — the reference sweeps to 19, gmg.cc:342),"
+        " 6 elsewhere (CPU f64 wall time)",
+    )
     parser.add_argument("--degree", type=int, default=1)
     parser.add_argument("--precision", default="f64", choices=("f32", "f64"))
     parser.add_argument(
@@ -177,9 +183,11 @@ def main(argv=None) -> int:
 
     dtype = jnp.float64 if args.precision == "f64" else jnp.float32
     op_mode = args.op_mode
+    on_tpu = jax.default_backend() == "tpu"
     if op_mode == "auto":
-        on_tpu = jax.default_backend() == "tpu"
         op_mode = "pallas" if (on_tpu and dtype == jnp.float32) else "stencil"
+    if args.max_ref is None:
+        args.max_ref = 8 if on_tpu else 6
     table = ConvergenceTable()
     for ref in range(args.min_ref, args.max_ref + 1):
         space = make_space(args.dim, args.degree, ref)

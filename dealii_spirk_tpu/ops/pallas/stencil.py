@@ -1712,7 +1712,8 @@ def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
     the canonical kernel wrappers via ``GMGPrec.canon_tables`` — in-graph
     construction at every call site measurably slowed the solve (~15% at
     refinement 7: XLA's while-loop LICM does not fully hoist it), while
-    concrete literals blow up program size (see ``_table_cache_get``).
+    concrete literals blow up program size (XLA re-embeds them in every
+    called computation; see the note above ``_tables_canon``).
     The layout must match the wrappers' own x_roll choice, which is a
     pure function of the canonical shape."""
     shape_c = (0,) + canon_shape(spatial, p, dim)  # leading batch unused

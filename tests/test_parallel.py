@@ -152,3 +152,40 @@ def test_padding_default_keeps_everything():
 def test_padding_smaller_than_stages_raises():
     with pytest.raises(ValueError, match="at least as large"):
         make_mesh(4, padding=2)
+
+
+def test_stage_mixers_lower_to_intended_collectives():
+    """Virtual-topology evidence (reference main.cc:1443-1534): the ring
+    mixer lowers to XLA collective-permute (the MPI_Sendrecv_replace ring
+    analog) and the UseSharedMemory mixer to all-gather (the
+    shared-memory direct-read analog).  Single-chip hardware cannot time
+    the two over ICI; this pins the communication PATTERN instead."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dealii_spirk_tpu.parallel.ring import ring_stage_mix
+    from dealii_spirk_tpu.schemes.base import stage_mix
+
+    q = 4
+    mesh = make_mesh(q)  # (stage=4, space=2)
+    mat = jnp.eye(q, dtype=jnp.float32)
+    W = jnp.zeros((q, 16, 16), jnp.float32)
+    sh = NamedSharding(mesh, P("stage"))
+
+    ring_hlo = (
+        jax.jit(lambda m, w: ring_stage_mix(m, w, mesh))
+        .lower(mat, jax.device_put(W, sh))
+        .compile()
+        .as_text()
+    )
+    assert ring_hlo.count("collective-permute") >= q - 1
+    assert "all-gather" not in ring_hlo
+
+    sm_hlo = (
+        jax.jit(stage_mix, in_shardings=(None, sh), out_shardings=sh)
+        .lower(mat, W)
+        .compile()
+        .as_text()
+    )
+    assert "all-gather" in sm_hlo
+    assert "collective-permute" not in sm_hlo
