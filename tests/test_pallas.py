@@ -469,3 +469,37 @@ def test_canon_yb_kernels_match(p, ref, by):
             atol=float(5e-3 * np.abs(want2).max() + 1e-5),
         )
         assert float(jnp.abs(jnp.where(mask, got2, 0)).max()) == 0.0
+
+
+def test_ymxu_canon_kernels_match_roll_path(monkeypatch):
+    """SPIRK_YMXU=1 (MXU y contraction, default off — measured slower on
+    v5e, docs/ROUND3_NOTES.md) must stay numerically equivalent to the
+    roll path: apply, dual and cheb canonical kernels vs the XLA oracle
+    on a 3D grid.  bf16x3 accuracy is ~1e-5 relative."""
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    monkeypatch.setattr(st, "_YMXU", True)
+    rng = np.random.default_rng(1)
+    for p, ref in [(1, 4), (2, 3)]:
+        lev = make_level(ref, p)
+        sp = (lev.m,) * 3
+        ops = level_ops(lev, jnp.float32)
+        shape_c = (0,) + st.canon_shape(sp, p, 3)
+        assert st._y_mxu_canon(shape_c, p, 3), (p, ref)
+        W = jnp.asarray(rng.standard_normal((2,) + sp), jnp.float32)
+        d = jnp.asarray([1.0, 2.0], jnp.float32)
+        Wc = st.pad_canon(W, sp, p, 3)
+        got = st.fused_stencil_apply_canon(ops, d, 0.37, Wc, 3, interpret=True)
+        want = apply_shifted_batched(ops, d, 0.37, W, 3, "stencil")
+        np.testing.assert_allclose(
+            st.unpad_canon(got, sp, 3), want,
+            atol=float(3e-5 * np.abs(want).max() + 1e-6),
+        )
+        # threaded tables must resolve the same layout (stacked square)
+        tabs = st.canon_tables(ops, sp, p, 3)
+        assert tabs[1].ndim == 3 and tabs[1].shape[0] == 2
+        got2 = st.fused_stencil_apply_canon(
+            ops, d, 0.37, Wc, 3, interpret=True, tables=tabs
+        )
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(got))
