@@ -311,23 +311,20 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
-def _y_stage_mxu(E, F, yb_ref, ny_p: int, h_ref):
+def _y_stage_mxu(E, F, yb_ref, ny_p: int):
     """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as two
     bf16x3 matmuls per z-plane, ``[C|D] = Wm @ [E|F] + Ws @ [F|0]`` —
     and the (bz, ny, 2nx) result IS the x-dot operand (the lane concat
     the dot path otherwise builds explicitly).  ``yb_ref`` holds the
-    stacked square ``_band_table_y_mxu`` table; contracting over ny_p
-    per matmul (not 2*ny_p) keeps Mosaic from K-splitting the bf16 lhs
-    into an offset column slice it cannot lower ("Bad lhs type").
-    ``h_ref`` is the (2, ny_p, 2*nx) VMEM rhs staging scratch."""
+    stacked square ``_band_table_y_mxu`` table.  Mosaic distributes the
+    matmuls over the concat blocks (and K-splits wide contractions);
+    both are fine with the explicit DEFAULT precision in
+    ``_dot_bf16x3`` — the historical "Bad lhs type" rejections were the
+    inherited fp32 contract precision, not the operand structure."""
     Wm = yb_ref[0]
     Ws = yb_ref[1]
     zero = jnp.zeros(E.shape[1:], jnp.float32)
     rows = []
-    # Staging the concatenated rhs through VMEM keeps Mosaic from
-    # distributing the matmul over the concat blocks (that split makes
-    # 128-lane bf16 matmul tiles which Mosaic rejects with "Bad lhs
-    # type").
     for z in range(E.shape[0]):
         H1 = jnp.concatenate([E[z], F[z]], axis=1)
         H2 = jnp.concatenate([F[z], zero], axis=1)
@@ -373,16 +370,11 @@ def _slab_dma(u_hbm, scratch, sem, p: int, z_off: int, bz: int):
     return scratch.at[slot]
 
 
-def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int,
-                  y_mxu: bool = False):
-    scr = [
+def _slab_scratch(bz: int, p: int, ny_p: int, nx_p: int):
+    return [
         pltpu.VMEM((2, bz + 2 * p, ny_p, nx_p), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    if y_mxu:
-        # rhs staging for the MXU y contraction (see _y_stage_mxu)
-        scr.append(pltpu.VMEM((2, ny_p, 2 * nx_p), jnp.float32))
-    return scr
 
 
 def _slab_dma_canon(u_hbm, scratch, sem, p: int, bz: int):
@@ -644,7 +636,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2,
-               sem, *scr):
+               sem):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
@@ -668,7 +660,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p, scr[0])
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -710,8 +702,7 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
     nb = 2 * p + 1
 
     def kernel(
-        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2,
-        sem, *scr
+        zb_ref, yb_ref, xmat_ref, u_hbm, outm_ref, outk_ref, scratch2, sem
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
@@ -733,7 +724,7 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
             Zk = ws * plane if Zk is None else Zk + ws * plane
         if y_mxu:
             # E=Zk, F=Zm: CD = [Wm Zk + Ws Zm | Wm Zm] = [Ck | Cm]
-            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p, scr[0])
+            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p)
             Ck = CD[:, :, :nx_p]
             Cm = CD[:, :, nx_p:]
             if not x_roll:
@@ -943,7 +934,7 @@ def _fused_apply_impl(w, zb, yb, xmat, u, p, dim, interpret, x_roll=False,
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             ),
             out_shape=jax.ShapeDtypeStruct((q, nzp, ny_p, nx_p), jnp.float32),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, u_pad)
         return out[:, :nz, :ny, :nx]
@@ -1028,7 +1019,7 @@ def _fused_ms_apply_impl(zb, yb, xmat, u, p, dim, interpret, x_roll=False,
             ],
             out_specs=(spec, spec),
             out_shape=(shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(zb, yb, xmat, u_pad)
         sl = (slice(None), slice(None, nz), slice(None, ny), slice(None, nx))
@@ -1652,7 +1643,7 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                     (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
                 ),
                 out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
             )(w, zb, yb, xmat, u_c)
         ny_p = u_c.shape[1]
@@ -1683,7 +1674,11 @@ def _check_canon_tables(tables, x_roll: bool, y_mxu: bool = False):
     if tables is None:
         return
     xmat = tables[2]
-    # dense: (2*nx_p, nx_p) with nx_p >= 128; band: <= ~24 rows
+    # Shape-sniffing is EXACT for the shapes these builders produce:
+    # dense xmat is (2*nx_p, nx_p) with nx_p >= 8 while band xmat has
+    # <= 2*(2p+1) <= 18 rows and >= 128 columns (never 2:1); the MXU y
+    # table is the only 3-D one.  A new table variant must keep these
+    # invariants or extend this guard.
     is_dense = xmat.shape[0] == 2 * xmat.shape[1]
     if is_dense == x_roll:
         raise ValueError(
@@ -1799,7 +1794,7 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                 ],
                 out_specs=(spec, spec),
                 out_shape=(shape, shape),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
             )(zb, yb, xmat, u_c)
         ny_p = u_c.shape[1]
@@ -1923,7 +1918,7 @@ def _fused_cheb_canon(
             ],
             out_specs=(blocked, blocked, blocked),
             out_shape=(shape, shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
 
@@ -2027,7 +2022,7 @@ def _fused_apply_padded(
                     lambda iq, iz: _i32(iq, iz + 1, 0, 0),
                 ),
                 out_shape=jax.ShapeDtypeStruct(u_pad.shape, jnp.float32),
-                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+                scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
             )(w, zb, yb, xmat, u_pad)
             # the kernel never writes the halo blocks; uninitialized
@@ -2119,7 +2114,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
 
     def kernel(
         w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
-        r_out, d_out, x_out, scratch2, sem, *scr,
+        r_out, d_out, x_out, scratch2, sem,
     ):
         iq = pl.program_id(0)
         iz = pl.program_id(1)
@@ -2146,7 +2141,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p, scr[0])
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -2249,7 +2244,7 @@ def fused_cheb_iter_padded(
             ],
             out_specs=(blocked, blocked, blocked),
             out_shape=(shape, shape, shape),
-            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p, y_mxu=y_mxu),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, d_pad, r_pad, x_pad, invd_pad)
     # keep the DMA-adjacent planes of the next iteration's operand zero

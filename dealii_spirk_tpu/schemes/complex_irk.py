@@ -35,7 +35,7 @@ from ..ops.mass_laplace import (
     apply_stiffness,
 )
 from ..solvers.gmg import gmg_reinit, vcycle
-from ..solvers.krylov import gmres, pcg
+from ..solvers.krylov import COMPACT_BASIS, COMPACT_GRID_DOFS, gmres, pcg
 from .base import SchemeBase, stage_mix, stage_times_factor
 
 
@@ -83,7 +83,7 @@ class ComplexIRK(SchemeBase):
         spatial = (fine.m,) * dim
         # compact fixed basis at huge grids: see schemes/irk.py
         self._compact_restart = (
-            12 if int(np.prod(spatial)) > 8_000_000 else 0
+            COMPACT_BASIS if int(np.prod(spatial)) > COMPACT_GRID_DOFS else 0
         )
         use_canon = (
             mode == "pallas"
@@ -191,7 +191,7 @@ class ComplexIRK(SchemeBase):
                 out = jnp.stack([x0 - x1, x1], axis=1)
                 return shard(out), carry + jnp.stack([c0, c1], axis=1)
 
-        share_ops = int(np.prod(spatial)) > 8_000_000  # see schemes/irk.py
+        share_ops = int(np.prod(spatial)) > COMPACT_GRID_DOFS  # see schemes/irk.py
         mop_jit = jax.jit(raw_Mop) if share_ops else raw_Mop
 
         def solve_fn(W_rhs, prec, tau):
@@ -221,8 +221,12 @@ class ComplexIRK(SchemeBase):
                 abstol=1e-20,
                 reltol=outer_tol,
                 # compact fixed basis at huge grids (see schemes/irk.py)
-                restart=28 if int(np.prod(spatial)) <= 8_000_000 else 12,
-                adaptive=None if int(np.prod(spatial)) <= 8_000_000 else 0,
+                restart=28
+                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
+                else COMPACT_BASIS,
+                adaptive=None
+                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
+                else 0,
                 batch=True,
             )
             zr, zi = res.x[:, 0], res.x[:, 1]

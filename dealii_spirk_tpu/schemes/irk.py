@@ -44,7 +44,7 @@ from ..ops.mass_laplace import (
     apply_stiffness,
 )
 from ..solvers.gmg import gmg_reinit, vcycle, vcycle_canon
-from ..solvers.krylov import gmres, pcg
+from ..solvers.krylov import COMPACT_BASIS, COMPACT_GRID_DOFS, gmres, pcg
 from .base import SchemeBase, stage_mix, stage_times_factor
 
 
@@ -109,7 +109,7 @@ class IRK(SchemeBase):
         # ever exceeds it, a restart fires where deal.II's 30-vector
         # default would not — make that parity divergence loud
         self._compact_restart = (
-            12 if int(np.prod(spatial)) > 8_000_000 else 0
+            COMPACT_BASIS if int(np.prod(spatial)) > COMPACT_GRID_DOFS else 0
         )
         use_canon = (
             mode == "pallas"
@@ -160,7 +160,7 @@ class IRK(SchemeBase):
         # shared-computation mode only where the program would otherwise
         # exceed the remote compiler's cap: the pjit call boundaries cost
         # ~5 ms/step at refinement 7 (blocked fusion at the Mop edges)
-        share_ops = int(np.prod(spatial)) > 8_000_000
+        share_ops = int(np.prod(spatial)) > COMPACT_GRID_DOFS
 
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
@@ -257,13 +257,13 @@ class IRK(SchemeBase):
                 abstol=1e-20,
                 reltol=outer_tol,
                 # deal.II-style 28-vector basis; at huge grids a compact
-                # fixed basis instead (28 x 265 MB of basis = 7.7 GB HBM
-                # at refinement 8, and the adaptive pre-cycle's second
-                # copy of the solve machinery pushes the program past the
-                # remote compiler's request cap; solves take 4-6 outer
-                # iterations, so 12 columns lose nothing)
-                restart=28 if int(np.prod(spatial)) <= 8_000_000 else 12,
-                adaptive=None if int(np.prod(spatial)) <= 8_000_000 else 0,
+                # fixed basis instead (rationale at krylov.COMPACT_BASIS)
+                restart=28
+                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
+                else COMPACT_BASIS,
+                adaptive=None
+                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
+                else 0,
             )
             W = (
                 st.unpad_canon(res.x, spatial, dim) if use_canon else res.x

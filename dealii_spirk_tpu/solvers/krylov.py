@@ -187,6 +187,19 @@ def cg_lanczos_extremal_eigs(
     return tridiag_eigs(diag, off)
 
 
+# Huge-grid GMRES policy, shared by schemes/irk.py and
+# schemes/complex_irk.py (single source for the threshold + width —
+# the escalation warning, the restart choice and the shared-ops mode
+# must all flip together): above COMPACT_GRID_DOFS per-stage dofs the
+# deal.II-style 28-vector basis is replaced by a fixed COMPACT_BASIS
+# columns (28 x 265 MB of basis = 7.7 GB HBM at refinement 8, and the
+# adaptive pre-cycle pushes the program past the remote compiler's
+# request cap; solves take 4-6 outer iterations, so 12 columns lose
+# nothing — a restart past them is warned about as a parity divergence).
+COMPACT_GRID_DOFS = 8_000_000
+COMPACT_BASIS = 12
+
+
 def gmres(
     A: Callable,
     b,
@@ -323,6 +336,11 @@ def gmres(
         else:
             V_s, H_s, g_s, cs_s, sn_s, k0 = init
             a = V_s.shape[0] - 1  # small-basis column count
+            # NOTE: both bases are live during this copy, a transient of
+            # (a+1) extra basis vectors over the full cycle's (Rc+1) —
+            # bounded and non-binding here because at huge grids
+            # (> COMPACT_GRID_DOFS) the adaptive pre-cycle is disabled
+            # entirely and this path never runs (schemes/irk.py).
             V = jnp.zeros((Rc + 1,) + b.shape, dtype).at[: a + 1].set(V_s)
             H = (
                 jnp.zeros(lane_shape + (Rc + 1, Rc), dtype)
@@ -465,31 +483,33 @@ def gmres(
         _x, _r, res, it, _carry = st
         return jnp.any((res > tol) & (it < maxiter))
 
-    def outer_body(st):
-        x, r, res, it, carry = st
-        active = (res > tol) & (it < maxiter)
-        x, res, it, carry = cycle(x, r, res, it, carry)
+    def _refresh_if(gate, x, r, res, carry, mask):
+        """Recompute the (preconditioned) residual only when a restart
+        will actually continue (``jnp.any(gate)``) — deal.II exits on the
+        Givens estimate without a final recompute, and the recompute
+        costs a full vmult + preconditioner application.  ``mask`` limits
+        which lanes may update their res/carry."""
 
-        # recompute the (preconditioned) residual only when a restart will
-        # actually continue — deal.II exits on the Givens estimate without
-        # a final recompute, and the recompute costs a full vmult +
-        # preconditioner application.  Only lanes that were active this
-        # cycle may update their carry.
         def recompute(args):
             x_, r_, res_, carry_ = args
             r_new, carry_new = Ms(b - A(x_), carry_)
-            carry2 = _mask_carry(carry_new, carry_, active)
+            carry2 = _mask_carry(carry_new, carry_, mask)
             res_new = jnp.sqrt(_dot(r_new, r_new, batch))
-            return r_new, jnp.where(active, res_new, res_), carry2
+            return r_new, jnp.where(mask, res_new, res_), carry2
 
         def skip(args):
             _x, r_, res_, carry_ = args
             return r_, res_, carry_
 
+        return lax.cond(jnp.any(gate), recompute, skip, (x, r, res, carry))
+
+    def outer_body(st):
+        x, r, res, it, carry = st
+        active = (res > tol) & (it < maxiter)
+        x, res, it, carry = cycle(x, r, res, it, carry)
+        # only lanes that were active this cycle may update their carry
         still = (res > tol) & (it < maxiter)
-        r, res, carry = lax.cond(
-            jnp.any(still), recompute, skip, (x, r, res, carry)
-        )
+        r, res, carry = _refresh_if(still, x, r, res, carry, active)
         return x, r, res, it, carry
 
     zero_it = jnp.zeros(lane_shape, jnp.int32) if batch else jnp.int32(0)
@@ -519,24 +539,8 @@ def gmres(
             x, res, it, carry = _cycle(
                 R, x0, r0, res_s, it_s, carry_s, init=small_state
             )
-            # recompute the residual only if restarts will continue
-            # (deal.II exits on the Givens estimate; cf. outer_body)
             still = (res > tol) & (it < maxiter)
-
-            def recompute(args):
-                x_, r_, res_, carry_ = args
-                r_new, carry_new = Ms(b - A(x_), carry_)
-                carry2 = _mask_carry(carry_new, carry_, still)
-                res_new = jnp.sqrt(_dot(r_new, r_new, batch))
-                return r_new, jnp.where(still, res_new, res_), carry2
-
-            def skip(args):
-                _x, r_, res_, carry_ = args
-                return r_, res_, carry_
-
-            r, res, carry = lax.cond(
-                jnp.any(still), recompute, skip, (x, r0, res, carry)
-            )
+            r, res, carry = _refresh_if(still, x, r0, res, carry, still)
             x, _r, res, it, carry = lax.while_loop(
                 outer_cond, outer_body, (x, r, res, it, carry)
             )

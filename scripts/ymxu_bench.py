@@ -78,7 +78,8 @@ def main():
         )
 
         def cheb(state):
-            dd, rr, xx = state
+            # kernel signature/return: (d, r, x) -> (r', d', x')
+            rr, dd, xx = state
             return st.fused_cheb_iter_canon(
                 ops, d, 0.1, 0.5, 0.25, dd, rr, xx, invd, 3, tables=tabs
             )

@@ -473,29 +473,61 @@ def test_canon_yb_kernels_match(p, ref, by):
 
 def test_ymxu_canon_kernels_match_roll_path(monkeypatch):
     """SPIRK_YMXU=1 (MXU y contraction, default off — measured slower on
-    v5e, docs/ROUND3_NOTES.md) must stay numerically equivalent to the
-    roll path: apply, dual and cheb canonical kernels vs the XLA oracle
-    on a 3D grid.  bf16x3 accuracy is ~1e-5 relative."""
+    v5e, docs/ROUND3_NOTES.md) must stay numerically equivalent for ALL
+    three canonical kernel kinds: apply vs the XLA oracle, and the
+    dual/cheb kernels vs their roll-path outputs.  bf16x3 accuracy is
+    ~1e-5 relative."""
     from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
     from dealii_spirk_tpu.ops.pallas import stencil as st
 
-    monkeypatch.setattr(st, "_YMXU", True)
     rng = np.random.default_rng(1)
     for p, ref in [(1, 4), (2, 3)]:
         lev = make_level(ref, p)
         sp = (lev.m,) * 3
         ops = level_ops(lev, jnp.float32)
-        shape_c = (0,) + st.canon_shape(sp, p, 3)
-        assert st._y_mxu_canon(shape_c, p, 3), (p, ref)
         W = jnp.asarray(rng.standard_normal((2,) + sp), jnp.float32)
         d = jnp.asarray([1.0, 2.0], jnp.float32)
         Wc = st.pad_canon(W, sp, p, 3)
+        invd = jnp.asarray(
+            rng.uniform(0.5, 1.5, Wc.shape), jnp.float32
+        )
+        x0 = jnp.asarray(rng.standard_normal(Wc.shape), jnp.float32)
+
+        # roll-path outputs (flag off)
+        monkeypatch.setattr(st, "_YMXU", False)
+        ms_roll = st.fused_mass_stiffness_apply_canon(
+            ops, Wc, 3, interpret=True
+        )
+        cheb_roll = st.fused_cheb_iter_canon(
+            ops, d, 0.37, 0.5, 0.25, Wc, Wc, x0, invd, 3, interpret=True
+        )
+
+        monkeypatch.setattr(st, "_YMXU", True)
+        shape_c = (0,) + st.canon_shape(sp, p, 3)
+        assert st._y_mxu_canon(shape_c, p, 3), (p, ref)
         got = st.fused_stencil_apply_canon(ops, d, 0.37, Wc, 3, interpret=True)
         want = apply_shifted_batched(ops, d, 0.37, W, 3, "stencil")
         np.testing.assert_allclose(
             st.unpad_canon(got, sp, 3), want,
             atol=float(3e-5 * np.abs(want).max() + 1e-6),
         )
+        # dual kernel (E=Zk/F=Zm mapping) and fused cheb iteration
+        ms_mxu = st.fused_mass_stiffness_apply_canon(
+            ops, Wc, 3, interpret=True
+        )
+        for a, b in zip(ms_mxu, ms_roll):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=float(3e-5 * np.abs(np.asarray(b)).max() + 1e-6),
+            )
+        cheb_mxu = st.fused_cheb_iter_canon(
+            ops, d, 0.37, 0.5, 0.25, Wc, Wc, x0, invd, 3, interpret=True
+        )
+        for a, b in zip(cheb_mxu, cheb_roll):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=float(3e-5 * np.abs(np.asarray(b)).max() + 1e-6),
+            )
         # threaded tables must resolve the same layout (stacked square)
         tabs = st.canon_tables(ops, sp, p, 3)
         assert tabs[1].ndim == 3 and tabs[1].shape[0] == 2
@@ -503,3 +535,30 @@ def test_ymxu_canon_kernels_match_roll_path(monkeypatch):
             ops, d, 0.37, Wc, 3, interpret=True, tables=tabs
         )
         np.testing.assert_allclose(np.asarray(got2), np.asarray(got))
+
+
+def test_bf16x3_dots_carry_default_precision():
+    """Regression guard for the round-3 root cause (ROUND3_NOTES.md): the
+    package sets jax_default_matmul_precision=highest globally, and a
+    bf16 dot that INHERITS it reaches Mosaic with an fp32 contract
+    precision, which it rejects ("Bad lhs type").  The bf16x3 passes must
+    pin precision=DEFAULT explicitly."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    a = jnp.ones((8, 16), jnp.float32)
+    b = jnp.ones((16, 8), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda x, y: st._dot_bf16x3(x, y, (((1,), (0,)), ((), ())))
+    )(a, b)
+    dots = [
+        e for e in jaxpr.eqns if e.primitive.name == "dot_general"
+        and e.invars[0].aval.dtype == jnp.bfloat16
+    ]
+    assert len(dots) == 3  # hi*hi + hi*lo + lo*hi
+    for e in dots:
+        # None would INHERIT the global highest — must be explicit
+        prec = e.params.get("precision")
+        assert prec == (
+            jax.lax.Precision.DEFAULT,
+            jax.lax.Precision.DEFAULT,
+        ), prec
