@@ -232,17 +232,16 @@ def _x_roll_ok(p: int, dim: int, nx_p: int) -> bool:
     return dim == 3 and p == 1 and nx_p <= 128
 
 
-# bf16x3 split for the in-kernel x-direction dot (p >= 2 path) — three
-# bf16 MXU passes with f32 accumulation instead of HIGHEST's six,
-# dropping the lo*lo term (~5e-6 rel error, 33% faster on the isolated
-# dot).  The operator noise sits at the f32 Krylov tolerance floor
-# (32 eps), so iteration-count parity was validated on hardware before
-# defaulting on: degree-4 3D irk_batched AND complex_irk_batched at
-# OuterTolerance 1e-8 give identical errors and identical outer/inner
-# counts vs HIGHEST (1.4-1.6x faster wall).  SPIRK_BF16X3=0 opts out.
+# bf16x3 split for the in-kernel dense dots — three bf16 MXU passes
+# with f32 accumulation instead of HIGHEST's six, dropping the lo*lo
+# term (~1e-5 rel error).  Iteration counts stay identical, but the
+# operator noise lands in the ACCURACY oracle when the discretization
+# error is itself 1e-5-class (high degree), so the default is a
+# degree-1-only gate (see _bf16_ok, measured numbers there).
+# SPIRK_BF16X3: "auto" (default, degree-1 only) | "1" always | "0" never.
 import os as _os
 
-_BF16X3 = _os.environ.get("SPIRK_BF16X3", "1") == "1"
+_BF16X3 = _os.environ.get("SPIRK_BF16X3", "auto")
 
 # MXU y-contraction (VERDICT r2 #2): replace the y-direction roll/FMA
 # chains with one bf16x3 matmul per z-plane — [C|D] (ny, 2nx) =
@@ -268,7 +267,7 @@ def _dot_bf16x3(lhs, rhs, dn, force_highest: bool = False):
     # fp32 contract precision onto bf16 operands; with the explicit
     # DEFAULT precision below every shape compiles, including 128-wide
     # outputs.)
-    if _BF16X3 and not force_highest:
+    if _BF16X3 != "0" and not force_highest:
         ch = lhs.astype(jnp.bfloat16)
         cl = (lhs - ch.astype(jnp.float32)).astype(jnp.bfloat16)
         xh = rhs.astype(jnp.bfloat16)
@@ -293,16 +292,34 @@ def _dot_bf16x3(lhs, rhs, dn, force_highest: bool = False):
     )
 
 
-def _x_dot(CD, xm, force_highest: bool = False):
+def _bf16_ok(p: int) -> bool:
+    """Accuracy gate for the bf16x3 contractions: at degree 1 the
+    discretization error (~5e-4 L2 at the recorded grids) dwarfs the
+    ~1e-5 relative bf16x3 operator error (measured: r8 end-to-end L2
+    unchanged to 4 digits), but at p >= 3 the discretization error is
+    1e-5-class and bf16x3 visibly pollutes the accuracy oracle (p=4 r6:
+    L2 8.9e-6 HIGHEST vs 5.3e-5 bf16 at identical iteration counts) for
+    a 0-7% speed gain — so the default is degree 1 only.
+    SPIRK_BF16X3=1 forces on everywhere, =0 off everywhere."""
+    if _BF16X3 == "1":
+        return True
+    if _BF16X3 == "0":
+        return False
+    return p == 1
+
+
+def _x_dot(CD, xm, p: int, force_highest: bool = False):
     return _dot_bf16x3(
-        CD, xm, (((2,), (0,)), ((), ())), force_highest=force_highest
+        CD, xm, (((2,), (0,)), ((), ())),
+        force_highest=force_highest or not _bf16_ok(p),
     )
 
 
-def _y_dot(Y, H, force_highest: bool = False):
-    """(ny, 2ny) @ (2ny, 2nx) plain matmul for the MXU y contraction."""
+def _y_dot(Y, H, p: int, force_highest: bool = False):
+    """(ny, ny) @ (ny, 2nx) plain matmul for the MXU y contraction."""
     return _dot_bf16x3(
-        Y, H, (((1,), (0,)), ((), ())), force_highest=force_highest
+        Y, H, (((1,), (0,)), ((), ())),
+        force_highest=force_highest or not _bf16_ok(p),
     )
 
 
@@ -311,7 +328,7 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
-def _y_stage_mxu(E, F, yb_ref, ny_p: int):
+def _y_stage_mxu(E, F, yb_ref, ny_p: int, p: int):
     """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as two
     bf16x3 matmuls per z-plane, ``[C|D] = Wm @ [E|F] + Ws @ [F|0]`` —
     and the (bz, ny, 2nx) result IS the x-dot operand (the lane concat
@@ -328,7 +345,7 @@ def _y_stage_mxu(E, F, yb_ref, ny_p: int):
     for z in range(E.shape[0]):
         H1 = jnp.concatenate([E[z], F[z]], axis=1)
         H2 = jnp.concatenate([F[z], zero], axis=1)
-        rows.append(_y_dot(Wm, H1) + _y_dot(Ws, H2))
+        rows.append(_y_dot(Wm, H1, p) + _y_dot(Ws, H2, p))
     return jnp.stack(rows)
 
 
@@ -575,7 +592,7 @@ def _make_kernel_3d_yb(p: int):
             d_term = wm * sF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        out_ref[0] = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:])
+        out_ref[0] = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
 
     return kernel
 
@@ -614,10 +631,10 @@ def _make_kernel_ms_3d_yb(p: int):
             ck_term = wm * rk + ws * rm
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
-        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], p)
         outk_ref[0] = _x_dot(
             jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:]
-        )
+        , p)
 
     return kernel
 
@@ -660,7 +677,7 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p, p)
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -686,11 +703,11 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
                 out = t if out is None else out + t
             out_ref[0] = out
         elif y_mxu:
-            out_ref[0] = _x_dot(CD, xmat_ref[:])
+            out_ref[0] = _x_dot(CD, xmat_ref[:], p)
         else:
             out_ref[0] = _x_dot(
                 jnp.concatenate([C, D], axis=-1), xmat_ref[:]
-            )
+            , p)
 
     return kernel
 
@@ -724,12 +741,12 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
             Zk = ws * plane if Zk is None else Zk + ws * plane
         if y_mxu:
             # E=Zk, F=Zm: CD = [Wm Zk + Ws Zm | Wm Zm] = [Ck | Cm]
-            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p)
+            CD = _y_stage_mxu(Zk, Zm, yb_ref, ny_p, p)
             Ck = CD[:, :, :nx_p]
             Cm = CD[:, :, nx_p:]
             if not x_roll:
-                outk_ref[0] = _x_dot(CD, xmat_ref[:])
-                outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
+                outk_ref[0] = _x_dot(CD, xmat_ref[:], p)
+                outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], p)
                 return
         else:
             Cm = None
@@ -757,10 +774,10 @@ def _make_kernel_ms_3d(p: int, z_off: int = 0, x_roll: bool = False,
             outm_ref[0] = om
             outk_ref[0] = ok
             return
-        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], p)
         outk_ref[0] = _x_dot(
             jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:]
-        )
+        , p)
 
     return kernel
 
@@ -1189,9 +1206,17 @@ def _canon_by_from_shape(shape_c, p: int, kind: str = "apply") -> int:
     blocks = 2 * (bz + 2 * p) + 7 * bz + (6 * bz if kind == "cheb" else 0)
     if plane * blocks <= 14 * 2**20:
         return 0
-    for by in (256, 128, 64, 32, 16):
-        if by >= ny_p or ny_p % by:
-            continue
+    # candidates: every multiple of 8 dividing ny_p, largest first (the
+    # y-halo costs 16 rows per block, so bigger blocks read less).  At
+    # p >= 2 the padded ny_p (e.g. 200 at m=191, 264 at m=255) has NO
+    # power-of-two divisor >= 16, so a power-of-two-only list silently
+    # dropped the reference's whole degree axis off the canonical path.
+    cands = [
+        by
+        for by in range(min(256, ny_p - 8), 7, -8)
+        if ny_p % by == 0
+    ]
+    for by in cands:
         byw = by + 16  # 8-row halo groups both sides
         floats = (2 * (bz + 2 * p) + 2 * bz) * byw * nx_p + (
             8 + _CANON_KIND_EXTRA[kind]
@@ -1458,7 +1483,7 @@ def _make_kernel_3d_canon_yb(p: int):
             D = d_term if D is None else D + d_term
         out_ref[0] = _x_dot(
             jnp.concatenate([C, D], axis=-1), xmat_ref[:]
-        )
+        , p)
 
     return kernel
 
@@ -1496,10 +1521,10 @@ def _make_kernel_ms_3d_canon_yb(p: int):
             ck_term = wm * rk + ws * rm
             Cm = cm_term if Cm is None else Cm + cm_term
             Ck = ck_term if Ck is None else Ck + ck_term
-        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p])
+        outm_ref[0] = _x_dot(Cm, xmat_ref[:nx_p], p)
         outk_ref[0] = _x_dot(
             jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:]
-        )
+        , p)
 
     return kernel
 
@@ -1546,7 +1571,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
             D = d_term if D is None else D + d_term
         Ad = _x_dot(
             jnp.concatenate([C, D], axis=-1), xmat_ref[:]
-        )
+        , p)
         r_new = r_ref[0] - Ad
         z = invd_ref[0] * r_new
         # value-level y slice (offset 8 is sublane-aligned); a 2-D Ref
@@ -2141,7 +2166,7 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p)
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p, p)
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -2166,9 +2191,9 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
                 t = wm * rc + ws * rd
                 Ad = t if Ad is None else Ad + t
         elif y_mxu:
-            Ad = _x_dot(CD, xmat_ref[:])
+            Ad = _x_dot(CD, xmat_ref[:], p)
         else:
-            Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:])
+            Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
         r_new = r_ref[0] - Ad
         z = invd_ref[0] * r_new
         d_new = c1 * scratch[p : p + bz] + c2 * z

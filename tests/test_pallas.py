@@ -428,7 +428,9 @@ def test_canon_vcycle_matches_classic():
         assert float(jnp.abs(jnp.where(mask, out_c, 0)).max()) == 0.0
 
 
-@pytest.mark.parametrize("p,ref,by", [(1, 4, 8), (2, 4, 8), (1, 5, 8)])
+@pytest.mark.parametrize(
+    "p,ref,by", [(1, 4, 8), (2, 4, 8), (1, 5, 8), (2, 5, 24)]
+)  # by=24: non-power-of-two block (the p>=2 production sizes)
 def test_canon_yb_kernels_match(p, ref, by):
     """Canonical y-blocked kernels (m >= 255 path: zero-halo layout with
     (z, y)-windowed boundary-branch DMAs) match the XLA path and keep
