@@ -1254,14 +1254,18 @@ def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
     )
 
 
-def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.3) -> bool:
+def canon_worthwhile(spatial, p: int, dim: int, limit: float = 1.5) -> bool:
     """Whether keeping a whole solve in the canonical layout pays off.
 
-    The aligned shape must be near-tight: at p=2, m=127 the lane extent
-    pads 129 -> 256, inflating EVERY solver op ~2.2x — more than the two
-    HBM passes per apply the layout saves.  Measured on v5e (hw_sweep):
-    ref6 (m=63, 2x lane inflation) classic ~14-22 ms/step vs canon
-    ~25 ms; ref7 (m=127, 2.4% inflation) canon 33 ms vs classic 57.
+    The aligned shape must be near-tight enough that the inflation of
+    every solver op stays below what the layout saves (two HBM passes
+    per apply plus the in-kernel pad/slice work the classic path pays
+    at the SAME inflated lane extent).  Measured on v5e (hw_sweep):
+    m=63 p=1 (2.1x inflation) classic ~14-22 ms/step vs canon ~25 —
+    reject; m=191 p=3 (1.41x: lanes 191->256) canon 276 ms vs classic
+    393 (30% faster, round 3) — accept; m=127 p=1 (2.4%) canon 33 vs
+    classic 57.  The limit sits between the measured 1.41-accept and
+    the 2.1-reject.
 
     ``SPIRK_FORCE_CANON=1`` overrides to True — used by the CPU test
     suite to exercise the canonical solve paths on small grids.
