@@ -242,6 +242,15 @@ def _x_roll_ok(p: int, dim: int, nx_p: int) -> bool:
 import os as _os
 
 _BF16X3 = _os.environ.get("SPIRK_BF16X3", "auto")
+if _BF16X3 not in ("0", "1", "auto"):
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"SPIRK_BF16X3={_BF16X3!r} is not one of '0'/'1'/'auto'; "
+        "treating as '0' (bf16x3 disabled)",
+        stacklevel=2,
+    )
+    _BF16X3 = "0"
 
 # MXU y-contraction (VERDICT r2 #2): replace the y-direction roll/FMA
 # chains with one bf16x3 matmul per z-plane — [C|D] (ny, 2nx) =
@@ -1449,8 +1458,9 @@ def _yslice(E, k: int, p: int, by: int):
 def _make_kernel_3d_canon_yb(p: int):
     """Canonical y-blocked fused apply — zero-halo layout in AND out.
     Same mathematics as ``_make_kernel_3d_yb``; windowing differs (see
-    ``_slab_dma_canon_yb``).  HIGHEST x dot (bf16 trips Mosaic on the
-    rolled/sliced operands, as in the classic yb kernels)."""
+    ``_slab_dma_canon_yb``).  The x dot follows the ``_bf16_ok`` degree
+    gate (bf16x3 at p=1 by default — this is the r8 production kernel —
+    HIGHEST otherwise)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):

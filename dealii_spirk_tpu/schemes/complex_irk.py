@@ -82,9 +82,11 @@ class ComplexIRK(SchemeBase):
         p_deg = (fine.mass_band.shape[0] - 1) // 2
         spatial = (fine.m,) * dim
         # compact fixed basis at huge grids: see schemes/irk.py
-        self._compact_restart = (
-            COMPACT_BASIS if int(np.prod(spatial)) > COMPACT_GRID_DOFS else 0
-        )
+        # ONE evaluation of the huge-grid predicate: the escalation
+        # warning, the restart/adaptive choice and the shared-ops mode
+        # must flip together (krylov.COMPACT_GRID_DOFS)
+        compact = int(np.prod(spatial)) > COMPACT_GRID_DOFS
+        self._compact_restart = COMPACT_BASIS if compact else 0
         use_canon = (
             mode == "pallas"
             and mesh is None
@@ -191,7 +193,7 @@ class ComplexIRK(SchemeBase):
                 out = jnp.stack([x0 - x1, x1], axis=1)
                 return shard(out), carry + jnp.stack([c0, c1], axis=1)
 
-        share_ops = int(np.prod(spatial)) > COMPACT_GRID_DOFS  # see schemes/irk.py
+        share_ops = compact  # see schemes/irk.py
         mop_jit = jax.jit(raw_Mop) if share_ops else raw_Mop
 
         def solve_fn(W_rhs, prec, tau):
@@ -221,12 +223,8 @@ class ComplexIRK(SchemeBase):
                 abstol=1e-20,
                 reltol=outer_tol,
                 # compact fixed basis at huge grids (see schemes/irk.py)
-                restart=28
-                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
-                else COMPACT_BASIS,
-                adaptive=None
-                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
-                else 0,
+                restart=COMPACT_BASIS if compact else 28,
+                adaptive=0 if compact else None,
                 batch=True,
             )
             zr, zi = res.x[:, 0], res.x[:, 1]

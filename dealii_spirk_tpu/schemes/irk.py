@@ -108,9 +108,11 @@ class IRK(SchemeBase):
         # compact fixed basis at huge grids (see solve_fn): if a solve
         # ever exceeds it, a restart fires where deal.II's 30-vector
         # default would not — make that parity divergence loud
-        self._compact_restart = (
-            COMPACT_BASIS if int(np.prod(spatial)) > COMPACT_GRID_DOFS else 0
-        )
+        # ONE evaluation of the huge-grid predicate: the escalation
+        # warning, the restart/adaptive choice and the shared-ops mode
+        # must flip together (krylov.COMPACT_GRID_DOFS)
+        compact = int(np.prod(spatial)) > COMPACT_GRID_DOFS
+        self._compact_restart = COMPACT_BASIS if compact else 0
         use_canon = (
             mode == "pallas"
             and mesh is None
@@ -160,7 +162,7 @@ class IRK(SchemeBase):
         # shared-computation mode only where the program would otherwise
         # exceed the remote compiler's cap: the pjit call boundaries cost
         # ~5 ms/step at refinement 7 (blocked fusion at the Mop edges)
-        share_ops = int(np.prod(spatial)) > COMPACT_GRID_DOFS
+        share_ops = compact
 
         def solve_fn(W_rhs, prec, tau):
             if use_canon:
@@ -258,12 +260,8 @@ class IRK(SchemeBase):
                 reltol=outer_tol,
                 # deal.II-style 28-vector basis; at huge grids a compact
                 # fixed basis instead (rationale at krylov.COMPACT_BASIS)
-                restart=28
-                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
-                else COMPACT_BASIS,
-                adaptive=None
-                if int(np.prod(spatial)) <= COMPACT_GRID_DOFS
-                else 0,
+                restart=COMPACT_BASIS if compact else 28,
+                adaptive=0 if compact else None,
             )
             W = (
                 st.unpad_canon(res.x, spatial, dim) if use_canon else res.x
