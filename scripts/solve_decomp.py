@@ -52,30 +52,62 @@ def main():
     shifts = jnp.asarray(irk_tables(q).D, jnp.float32)
     dim = problem.space.dim
 
-    t_ms = timeit(
-        jax.jit(
-            lambda u: apply_mass_stiffness_batched(ops, u, dim, "pallas")
-        ),
-        W,
-    )
-    t_sh = timeit(
-        jax.jit(
-            lambda u: apply_shifted_batched(ops, shifts, tau, u, dim, "pallas")
-        ),
-        W,
-    )
-    t_vc = timeit(
-        jax.jit(
-            lambda r: vcycle(
-                gmg, prec, shifts, tau, r, dim, "pallas", batch=True
+    use_canon = getattr(scheme, "use_canon", False)
+    if use_canon:
+        # the scheme's own execution: canonical layout + threaded tables
+        # (in-graph tables at refinement 8 blow the remote compiler's
+        # request cap — the schemes thread them for the same reason)
+        from dealii_spirk_tpu.ops.pallas import stencil as st
+        from dealii_spirk_tpu.solvers.gmg import vcycle_canon
+
+        spatial = (ops.m,) * dim
+        Wc = st.pad_canon(W, spatial, problem.space.degree, dim)
+        tabs = prec.canon_tables[-1] if prec.canon_tables else None
+        # prec/tables as jit ARGUMENTS (closure constants embed their
+        # leaves in the program and blow the remote compile cap at r8)
+        ms_jit = jax.jit(
+            lambda u, tb: st.fused_mass_stiffness_apply_canon(
+                ops, u, dim, tables=tb
             )
-        ),
-        W,
-    )
+        )
+        t_ms = timeit(ms_jit, Wc, tabs)
+        sh_jit = jax.jit(
+            lambda u, tb: st.fused_stencil_apply_canon(
+                ops, shifts, tau, u, dim, tables=tb
+            )
+        )
+        t_sh = timeit(sh_jit, Wc, tabs)
+        vc_jit = jax.jit(
+            lambda r, pr: vcycle_canon(gmg, pr, shifts, tau, r, dim)
+        )
+        t_vc = timeit(vc_jit, Wc, prec)
+    else:
+        t_ms = timeit(
+            jax.jit(
+                lambda u: apply_mass_stiffness_batched(ops, u, dim, "pallas")
+            ),
+            W,
+        )
+        t_sh = timeit(
+            jax.jit(
+                lambda u: apply_shifted_batched(
+                    ops, shifts, tau, u, dim, "pallas"
+                )
+            ),
+            W,
+        )
+        t_vc = timeit(
+            jax.jit(
+                lambda r: vcycle(
+                    gmg, prec, shifts, tau, r, dim, "pallas", batch=True
+                )
+            ),
+            W,
+        )
     tau_ = jnp.asarray(tau, jnp.float32)
-    solve_jit = jax.jit(lambda r: scheme.solve_fn(r, prec, tau_))
-    n_outer = int(solve_jit(W)[1])
-    t_solve = timeit(lambda r: solve_jit(r)[0], W, reps=5)
+    solve_jit = jax.jit(scheme.solve_fn)  # prec as ARG (see above)
+    n_outer = int(solve_jit(W, prec, tau_)[1])
+    t_solve = timeit(lambda r: solve_jit(r, prec, tau_)[0], W, reps=5)
 
     print(f"dual vmult (M,K):   {t_ms * 1e3:7.2f} ms")
     print(f"shifted apply:      {t_sh * 1e3:7.2f} ms")
