@@ -63,30 +63,71 @@ def _build(scheme_name: str, refinement: int, operator_mode: str = ""):
 def _time_scheme(
     scheme_name: str, refinement: int, n_steps: int = 5, operator_mode: str = ""
 ):
+    """Per-timestep device time via a TWO-POINT in-graph measurement.
+
+    The remote-device (axon) tunnel makes naive host timing lie in both
+    directions: ``block_until_ready`` has been observed to return before
+    execution finished (timing only dispatches — a 651x phantom
+    "speedup"), and any device->host pull costs ~0.6 s regardless of
+    size.  So each measurement runs N timesteps inside ONE jitted
+    ``lax.scan`` and ends with a checksum pull; timing the same program
+    at two different N and taking the slope cancels every fixed cost
+    (dispatch, transfer, sync quirks) and leaves pure per-step device
+    time.
+    """
     params, problem, scheme = _build(scheme_name, refinement, operator_mode)
     tau = params.time_step_size
     prec = scheme._reinit(tau)
     jax.block_until_ready(prec)
+    dtype = problem.dtype
+    tau_ = jnp.asarray(tau, dtype=dtype)
+
+    def make_runner(n: int):
+        @jax.jit
+        def run(u):
+            def body(carry, k):
+                u, _ = carry
+                t = (k.astype(dtype) + 2.0) * tau_
+                W_rhs = scheme.rhs_fn(u, t, tau_)
+                W, n_outer, _ = scheme.solve_fn(W_rhs, prec, tau_)
+                return (scheme.update_fn(u, W, tau_), n_outer), None
+
+            carry0 = (u, jnp.zeros((), jnp.int32))
+            (u, n_outer), _ = jax.lax.scan(
+                body, carry0, jnp.arange(n, dtype=jnp.int32)
+            )
+            return u, n_outer, jnp.sum(u * u)
+
+        return run
 
     @jax.jit
-    def step(u, t, tau_):
-        W_rhs = scheme.rhs_fn(u, t, tau_)
+    def first_step(u):
+        W_rhs = scheme.rhs_fn(u, tau_, tau_)
         W, n_outer, _ = scheme.solve_fn(W_rhs, prec, tau_)
         return scheme.update_fn(u, W, tau_), n_outer
 
-    u = problem.initial_condition()
-    tau_ = jnp.asarray(tau, dtype=problem.dtype)
-    # warmup (compile + first step)
-    u, n_outer = step(u, jnp.asarray(tau, problem.dtype), tau_)
-    jax.block_until_ready(u)
+    u0, _ = first_step(problem.initial_condition())
+    jax.block_until_ready(u0)
 
-    t0 = time.perf_counter()
-    t = tau
-    for _k in range(n_steps):
-        t += tau
-        u, n_outer = step(u, jnp.asarray(t, problem.dtype), tau_)
-    jax.block_until_ready(u)
-    elapsed = (time.perf_counter() - t0) / n_steps
+    n_lo, n_hi = 2, 2 + n_steps
+
+    def timed(n):
+        run = make_runner(n)
+        u, n_outer, chk = run(u0)  # warmup/compile
+        c = float(chk)
+        if not (c > 0 and c < 1e30):
+            raise RuntimeError(f"non-finite solution checksum {c}")
+        t0 = time.perf_counter()
+        u, n_outer, chk = run(u0)
+        c = float(chk)  # 4-byte pull: forces true completion
+        return time.perf_counter() - t0, int(n_outer), u, n
+
+    t_lo, n_outer, _u, _ = timed(n_lo)
+    t_hi, n_outer, u, n = timed(n_hi)
+    elapsed = (t_hi - t_lo) / (n_hi - n_lo)
+    err = problem.errors(u, (n + 1) * tau)
+    if not float(err[0]) < 1e-2:
+        raise RuntimeError(f"benchmark solution error off: L2={err[0]}")
     return elapsed, int(n_outer), problem
 
 
