@@ -141,10 +141,6 @@ class Parameters:
         return "stencil"
 
     @property
-    def is_complex(self) -> bool:
-        return self.time_integration_scheme.startswith("complex")
-
-    @property
     def is_stage_parallel(self) -> bool:
         return "spirk" in self.time_integration_scheme
 

@@ -39,8 +39,3 @@ def rhs_time_factor(t, dim: int):
         - A_T * (1.0 + s)
         + dim * WAVE**2 * PI**2 * (1.0 + s)
     ) * jnp.exp(-A_T * t)
-
-
-def spatial_factor_1d(x):
-    """Per-axis spatial factor sin(a pi x)."""
-    return jnp.sin(WAVE * PI * x)

@@ -34,13 +34,6 @@ def _dot(a, b, batch: bool):
     return jnp.sum(a * b)
 
 
-def _bshape(x, batch: bool):
-    """Reshape per-lane scalars for broadcasting against state arrays."""
-    if batch:
-        return x.reshape(x.shape + (1,) * 0)
-    return x
-
-
 def _expand(s, ref, batch: bool):
     if batch:
         return s.reshape(s.shape + (1,) * (ref.ndim - 1))

@@ -58,7 +58,10 @@ def save_table_file(path: str, data: np.ndarray) -> None:
     with open(path, "w") as f:
         f.write(f"{data.shape[0]}\n{data.shape[1]}\n")
         for v in data.ravel():
-            f.write(f"{v!r}\n")
+            # repr of a PYTHON float: shortest round-trip decimal (numpy 2's
+            # np.float64 repr would emit "np.float64(...)", unreadable by
+            # the reference's parser, main.cc:599-656)
+            f.write(f"{float(v)!r}\n")
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,8 @@ spot-checks against the reference's shipped tables (reference
 than copied.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -134,3 +136,36 @@ def test_complex_tables_s4_match_both_reference_shipped_sets():
          0.2543698027733842, 0.8708298136730743],
         atol=2e-5,
     )
+
+
+def test_table_file_roundtrip(tmp_path):
+    """Both directions of the reference table-file format (reference
+    load_matrix_from_file/load_vector_from_file, main.cc:599-656)."""
+    from dealii_spirk_tpu.tables import load_table_file, save_table_file
+
+    t = irk_tables(3)
+    mat_path = str(tmp_path / "A_inv3.txt")
+    save_table_file(mat_path, t.A_inv)
+    np.testing.assert_array_equal(load_table_file(mat_path), t.A_inv)
+    vec_path = str(tmp_path / "b_vec_3.txt")
+    save_table_file(vec_path, t.b)
+    loaded = load_table_file(vec_path)
+    assert loaded.ndim == 1  # 1-row files come back as vectors
+    np.testing.assert_array_equal(loaded, t.b)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/tables"),
+    reason="reference tables not present",
+)
+def test_load_reference_shipped_tables():
+    """Load the reference's OWN shipped files through our loader and check
+    them against the generated tables (cross-implementation oracle; the
+    shipped A_inv deviates ~1e-5 from exact, see the q=4 complex test)."""
+    from dealii_spirk_tpu.tables import load_table_file
+
+    a_inv = load_table_file("/root/reference/tables/A_inv2.txt")
+    np.testing.assert_allclose(a_inv, irk_tables(2).A_inv, atol=1e-12)
+    b = load_table_file("/root/reference/tables/b_vec_2.txt")
+    assert b.ndim == 1
+    np.testing.assert_allclose(b, irk_tables(2).b, atol=1e-12)
