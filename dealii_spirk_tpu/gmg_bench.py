@@ -218,6 +218,11 @@ def main(argv=None) -> int:
                     mark = "compile-cap"
                 else:
                     raise
+                # print the actual first line next to the mark so a
+                # mislabeled failure is diagnosable from the table output
+                # (ADVICE r3: substring sniffing can misclassify)
+                first = msg.splitlines()[0] if msg else type(e).__name__
+                print(f"# {label} r{ref}: {mark} ({first[:160]})")
                 row[f"t_{label}"] = mark
                 row[f"it_{label}"] = 0
                 row[f"t_per_it_{label}"] = mark

@@ -564,3 +564,43 @@ def test_bf16x3_dots_carry_default_precision():
             jax.lax.Precision.DEFAULT,
             jax.lax.Precision.DEFAULT,
         ), prec
+
+
+def test_ymxu_classic_wrappers_match_xla_oracle(monkeypatch):
+    """ADVICE r3: the SPIRK_YMXU=1 path through the CLASSIC (non-canonical)
+    wrappers — classic pad/DMA geometry combined with the dense y table —
+    had no direct test; the canonical-wrapper test above exercises only
+    the canonical geometry.  Compare fused_stencil_apply and
+    fused_mass_stiffness_apply against the XLA stencil oracle with the
+    flag forced on (interpret mode relaxes the >=128-lane Mosaic gate)."""
+    from dealii_spirk_tpu.ops.mass_laplace import (
+        apply_mass_stiffness_batched,
+        apply_shifted_batched,
+    )
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    rng = np.random.default_rng(7)
+    for p, ref in [(1, 4), (2, 3)]:
+        lev = make_level(ref, p)
+        sp = (lev.m,) * 3
+        ops = level_ops(lev, jnp.float32)
+        W = jnp.asarray(rng.standard_normal((2,) + sp), jnp.float32)
+        d = jnp.asarray([1.0, 2.0], jnp.float32)
+
+        monkeypatch.setattr(st, "_YMXU", True)
+        assert st._y_mxu_ok(
+            p, 3, st._ceil(W.shape[2] + p, 8), st._nx_pad(W.shape[-1], p, 3), 0
+        ), (p, ref)
+        got = st.fused_stencil_apply(ops, d, 0.37, W, 3, interpret=True)
+        want = apply_shifted_batched(ops, d, 0.37, W, 3, "stencil")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want),
+            atol=float(3e-5 * np.abs(np.asarray(want)).max() + 1e-6),
+        )
+        got_ms = st.fused_mass_stiffness_apply(ops, W, 3, interpret=True)
+        want_ms = apply_mass_stiffness_batched(ops, W, 3, "stencil")
+        for a, b in zip(got_ms, want_ms):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=float(3e-5 * np.abs(np.asarray(b)).max() + 1e-6),
+            )

@@ -212,3 +212,36 @@ def test_batched_partial_zero_lane():
     assert bool(jnp.isfinite(res.x).all())
     np.testing.assert_allclose(res.x[0], 0.0)
     np.testing.assert_allclose(res.x[1], 1.0 / 3.0, rtol=1e-8)
+
+
+def test_gmres_restart_matches_manual_restart_chain():
+    """deal.II restart semantics: a restart recomputes the residual at the
+    current iterate and starts a FRESH cycle — so gmres(restart=R) over
+    3R iterations must produce exactly the iterate of three chained
+    R-iteration solves, each warm-started from the previous (the compact
+    huge-grid basis relies on these semantics when a solve runs past it,
+    schemes/irk.py + krylov.COMPACT_BASIS)."""
+    n = 40
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(
+        np.diag(np.linspace(1, 40, n)) + 0.4 * rng.standard_normal((n, n))
+    )
+    b = jnp.asarray(rng.standard_normal(n))
+    Aop = lambda x: A @ x
+    R = 4
+
+    full = gmres(
+        Aop, b, maxiter=3 * R, reltol=1e-14, restart=R, adaptive=0
+    )
+    assert int(full.n_iterations) == 3 * R  # actually restarted twice
+
+    x = jnp.zeros_like(b)
+    total = 0
+    for _ in range(3):
+        res = gmres(
+            Aop, b, x0=x, maxiter=R, reltol=1e-14, restart=R, adaptive=0
+        )
+        x = res.x
+        total += int(res.n_iterations)
+    assert total == 3 * R
+    np.testing.assert_allclose(full.x, x, rtol=1e-12, atol=1e-13)
