@@ -1316,6 +1316,47 @@ def unpad_canon(u_c, spatial, dim: int):
     return u_c[(slice(None),) + tuple(slice(0, s) for s in spatial)]
 
 
+def _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn):
+    """Enumerate the (z, y) DMA window cases of the canonical y-blocked
+    layout and call ``fn(cond, zs, zn, zd, ys, yn, yd)`` for each:
+    first/last blocks copy the in-bounds sub-window to the matching end
+    of the scratch window, mid blocks the full haloed window.  Branches
+    that cannot occur are SKIPPED at trace time (their slice sizes may
+    exceed the array when there are only first/last blocks).  Shared by
+    the per-stage (``_slab_dma_canon_yb``) and all-stage
+    (``_slab_dma_canon_yb_allq``) DMA helpers."""
+    lastz = nz_s - 1
+    lasty = ny_s - 1
+    # (cond(iz), src_z_start, z_size, dst_z_off) — z_size/dst static
+    z_cases = [
+        (iz_ == 0, jnp.int32(0), bz + p, p),
+        (iz_ == lastz, lastz * bz - p, bz + p, 0),
+    ]
+    if nz_s > 2:
+        z_cases.append(
+            ((iz_ > 0) & (iz_ < lastz), iz_ * bz - p, bz + 2 * p, 0)
+        )
+    y_cases = [
+        (iy_ == 0, jnp.int32(0), by + 8, 8),
+        (iy_ == lasty, lasty * by - 8, by + 8, 0),
+    ]
+    if ny_s > 2:
+        # start written as 8 * k so Mosaic's tile-divisibility prover
+        # (sublane tiling 8) accepts the traced offset — the
+        # equivalent ``iy * by - 8`` fails to prove on v5e
+        y_cases.append(
+            (
+                (iy_ > 0) & (iy_ < lasty),
+                8 * (iy_ * (by // 8) - 1),
+                by + 16,
+                0,
+            )
+        )
+    for zc, zs, zn, zd in z_cases:
+        for yc, ys, yn, yd in y_cases:
+            fn(zc & yc, zs, zn, zd, ys, yn, yd)
+
+
 def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     """Double-buffered (z, y)-windowed DMA for the canonical y-blocked
     kernels (zero-halo layout, grid (q, z-blocks, y-blocks)).
@@ -1338,47 +1379,12 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     # exceed the array when there are only first/last blocks)
     nz_s = u_hbm.shape[1] // bz
     ny_s = u_hbm.shape[2] // by
-    lastz = nz_s - 1
-    lasty = ny_s - 1
     g = (iq * nz_s + iz) * ny_s + iy
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
-    # (cond(iz), src_z_start, z_size, dst_z_off) — z_size/dst static
-    def z_cases(iz_):
-        cases = [
-            (iz_ == 0, jnp.int32(0), bz + p, p),
-            (iz_ == lastz, lastz * bz - p, bz + p, 0),
-        ]
-        if nz_s > 2:
-            cases.append(
-                ((iz_ > 0) & (iz_ < lastz), iz_ * bz - p, bz + 2 * p, 0)
-            )
-        return cases
-
-    def y_cases(iy_):
-        cases = [
-            (iy_ == 0, jnp.int32(0), by + 8, 8),
-            (iy_ == lasty, lasty * by - 8, by + 8, 0),
-        ]
-        if ny_s > 2:
-            # start written as 8 * k so Mosaic's tile-divisibility prover
-            # (sublane tiling 8) accepts the traced offset — the
-            # equivalent ``iy * by - 8`` fails to prove on v5e
-            cases.append(
-                (
-                    (iy_ > 0) & (iy_ < lasty),
-                    8 * (iy_ * (by // 8) - 1),
-                    by + 16,
-                    0,
-                )
-            )
-        return cases
-
     def for_each_case(iz_, iy_, fn):
-        for zc, zs, zn, zd in z_cases(iz_):
-            for yc, ys, yn, yd in y_cases(iy_):
-                fn(zc & yc, zs, zn, zd, ys, yn, yd)
+        _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn)
 
     def start_for(iq_, iz_, iy_, slot_):
         def issue(cond, zs, zn, zd, ys, yn, yd):
@@ -1426,7 +1432,7 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     def _():
         scratch[slot, pl.ds(0, p)] = zeros_z
 
-    @pl.when(iz == lastz)
+    @pl.when(iz == nz_s - 1)
     def _():
         scratch[slot, pl.ds(bz + p, p)] = zeros_z
 
@@ -1434,7 +1440,7 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     def _():
         scratch[slot, :, pl.ds(0, 8)] = zeros_y
 
-    @pl.when(iy == lasty)
+    @pl.when(iy == ny_s - 1)
     def _():
         scratch[slot, :, pl.ds(by + 8, 8)] = zeros_y
 
@@ -1960,6 +1966,363 @@ def _fused_cheb_canon(
             scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
             interpret=interpret,
         )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
+
+
+# ---------------------------------------------------------------------------
+# stage-coupled canonical kernels: the q x q stage mixing in-kernel
+# ---------------------------------------------------------------------------
+#
+# The IRK solve interleaves the separable operator applies with DENSE
+# stage couplings (A^{-1}, T, T^{-1} — the reference's basis changes,
+# main.cc:1443-1534).  As XLA dots these mixes cost ~4 HBM passes each
+# over the full (q, m^3) field (~2.6 ms per mix at refinement 8, ~18
+# mixes per solve — the largest non-kernel slice of the r8 step,
+# ROUND3_NOTES).  Two kernels remove that traffic:
+#
+#  * ``stage_mix_canon``          — the standalone mix as ONE read + ONE
+#    write pass: the grid covers row blocks, each step holds all q
+#    stages of its block in VMEM and emits all q outputs.
+#  * ``fused_ms_mix_apply_canon`` — the outer-system vmult
+#    ``A^{-1} (M W) + tau (K W)`` (reference main.cc:1556-1591 /
+#    :1014-1028) in one kernel: the grid covers spatial blocks only,
+#    each step DMAs the haloed windows of ALL q stages, runs the dual
+#    mass/stiffness z/y/x passes per stage in VMEM, and accumulates the
+#    q x q mix on the block results — one HBM read of W and one write of
+#    the result, replacing the ms kernel's (MW, KW) write plus the
+#    mix einsum's read-combine-write.
+
+
+def _slab_dma_canon_yb_allq(u_hbm, scratch, sem, p: int, bz: int, by: int):
+    """Double-buffered (z, y)-windowed DMA of ALL q stages per grid step
+    (grid (z-blocks, y-blocks)): identical window logic to
+    ``_slab_dma_canon_yb`` with the stage axis copied whole — the
+    stage-mixing kernel needs every stage's window resident to contract
+    the q x q coupling in VMEM."""
+    iz = pl.program_id(0)
+    iy = pl.program_id(1)
+    nz_s = u_hbm.shape[1] // bz
+    ny_s = u_hbm.shape[2] // by
+    g = iz * ny_s + iy
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def start_for(iz_, iy_, slot_):
+        def issue(cond, zs, zn, zd, ys, yn, yd):
+            @pl.when(cond)
+            def _():
+                pltpu.make_async_copy(
+                    u_hbm.at[:, pl.ds(zs, zn), pl.ds(ys, yn)],
+                    scratch.at[slot_, :, pl.ds(zd, zn), pl.ds(yd, yn)],
+                    sem.at[slot_],
+                ).start()
+
+        _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, issue)
+
+    @pl.when(g == 0)
+    def _():
+        start_for(iz, iy, slot)
+
+    carry_y = iy + 1 >= ny_s
+    niy = jnp.where(carry_y, 0, iy + 1)
+    niz = jnp.where(carry_y, iz + 1, iz)
+
+    @pl.when(g + 1 < nz_s * ny_s)
+    def _():
+        start_for(niz, niy, nslot)
+
+    def wait(cond, zs, zn, zd, ys, yn, yd):
+        @pl.when(cond)
+        def _():
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(zs, zn), pl.ds(ys, yn)],
+                scratch.at[slot, :, pl.ds(zd, zn), pl.ds(yd, yn)],
+                sem.at[slot],
+            ).wait()
+
+    _for_each_zy_case(iz, iy, nz_s, ny_s, p, bz, by, wait)
+
+    # zero the halo planes/rows the boundary copies didn't write
+    q = scratch.shape[1]
+    byw = by + 16
+    zeros_z = jnp.zeros((q, p, byw) + scratch.shape[4:], scratch.dtype)
+    zeros_y = jnp.zeros(
+        (q, bz + 2 * p, 8) + scratch.shape[4:], scratch.dtype
+    )
+
+    @pl.when(iz == 0)
+    def _():
+        scratch[slot, :, pl.ds(0, p)] = zeros_z
+
+    @pl.when(iz == nz_s - 1)
+    def _():
+        scratch[slot, :, pl.ds(bz + p, p)] = zeros_z
+
+    @pl.when(iy == 0)
+    def _():
+        scratch[slot, :, :, pl.ds(0, 8)] = zeros_y
+
+    @pl.when(iy == ny_s - 1)
+    def _():
+        scratch[slot, :, :, pl.ds(by + 8, 8)] = zeros_y
+
+    return scratch.at[slot]
+
+
+def _make_kernel_stage_mix(q_out: int, q_in: int):
+    def kernel(mat_ref, w_ref, out_ref):
+        for i in range(q_out):
+            acc = None
+            for j in range(q_in):
+                term = mat_ref[i, j] * w_ref[j]
+                acc = term if acc is None else acc + term
+            out_ref[i] = acc
+
+    return kernel
+
+
+def _mix_rows_block(n_rows: int, nx_p: int, q_out: int, q_in: int) -> int:
+    """Row-block size for ``stage_mix_canon``: the largest multiple-of-8
+    divisor of ``n_rows`` whose pipelined in+out blocks (2 buffers each
+    side) fit a ~6 MB budget; 0 when none does."""
+    budget = 6 * 2**20
+    best = 0
+    for br in range(8, n_rows + 1, 8):
+        if n_rows % br:
+            continue
+        if 2 * (q_in + q_out) * br * nx_p * 4 <= budget:
+            best = br
+        else:
+            break
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_out", "q_in", "br", "interpret")
+)
+def _stage_mix_canon(mat, w2, *, q_out, q_in, br, interpret):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        n_rows, nx_p = w2.shape[1], w2.shape[2]
+        return pl.pallas_call(
+            _make_kernel_stage_mix(q_out, q_in),
+            grid=(n_rows // br,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((q_in, br, nx_p), lambda ir: _i32(0, ir, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (q_out, br, nx_p), lambda ir: _i32(0, ir, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (q_out, n_rows, nx_p), jnp.float32
+            ),
+            interpret=interpret,
+        )(mat, w2)
+
+
+def stage_mix_canon(mat, W_c, *, interpret: bool = False):
+    """Dense stage mix ``out_i = sum_j mat[i, j] W_j`` on an aligned
+    (canonical/padded) f32 stage block as ONE HBM pass — each grid step
+    holds a row block of all stages in VMEM, so every input element is
+    read once and every output written once (the XLA dot moves ~4 passes
+    at production sizes).  Falls back to the reshaped GEMM off the
+    aligned layouts.  Reference semantics: ``perform_basis_change``
+    (main.cc:1486-1534) on the batched layout."""
+    interpret = interpret or _INTERPRET
+    q_out, q_in = mat.shape
+    nx_p = W_c.shape[-1]
+    n_rows = 1
+    for s in W_c.shape[1:-1]:
+        n_rows *= s
+    br = (
+        _mix_rows_block(n_rows, nx_p, q_out, q_in)
+        if (W_c.dtype == jnp.float32 and nx_p % 128 == 0 and n_rows % 8 == 0)
+        else 0
+    )
+    if br == 0:
+        out = mat @ W_c.reshape(q_in, -1)
+        return out.reshape((q_out,) + W_c.shape[1:])
+    out = _stage_mix_canon(
+        mat.astype(jnp.float32),
+        W_c.reshape(q_in, n_rows, nx_p),
+        q_out=q_out,
+        q_in=q_in,
+        br=br,
+        interpret=interpret,
+    )
+    return out.reshape((q_out,) + W_c.shape[1:])
+
+
+def _ms_mix_by(shape_c, p: int, q: int) -> int:
+    """y-block size for the fused mix-vmult kernel: the largest
+    multiple-of-8 divisor of ny_p (<= ny_p/2 so first/last DMA branches
+    stay distinct) whose ALL-STAGE working set fits the 11 MB
+    scoped-VMEM budget; -1 when none fits (callers fall back to the
+    unfused ms kernel + einsum)."""
+    ny_p, nx_p = shape_c[-2], shape_c[-1]
+    bz = _BZ
+    start = (ny_p // 2) // 8 * 8
+    for by in range(min(256, start), 7, -8):
+        if ny_p % by:
+            continue
+        byw = by + 16
+        floats = (
+            2 * q * (bz + 2 * p) * byw  # 2-slot all-stage DMA scratch
+            + 2 * q * bz * by  # double-buffered all-stage output block
+            + q * bz * by  # q mix accumulators
+            + 6 * bz * byw  # Zm/Zk/Cm/Ck + dot operand transients
+        ) * nx_p
+        if floats * 4 <= 11 * 2**20:
+            return by
+    return -1
+
+
+def ms_mix_supported(spatial, p: int, dim: int, q: int) -> bool:
+    """True when ``fused_ms_mix_apply_canon`` can run at this size: 3D
+    canonical layout, non-MXU y path (the threaded tables must be the
+    band/dense layouts this kernel reads), and an all-stage y block that
+    fits VMEM."""
+    if dim != 3 or not (1 <= p <= 4):
+        return False
+    if not canon_supported(spatial, p, dim):
+        return False
+    shape_c = (q,) + canon_shape(spatial, p, dim)
+    if _y_mxu_canon(shape_c, p, dim):
+        return False
+    return _ms_mix_by(shape_c, p, q) > 0
+
+
+def _make_kernel_ms_mix_3d_canon_yb(p: int, q: int, x_roll: bool):
+    """out_i = sum_j mw[i, j] (M u_j) + mw[q, i] (K u_i) — the dual
+    mass/stiffness passes of ``_make_kernel_ms_3d_canon_yb`` run per
+    stage with the q x q mix accumulated on the block results in VMEM;
+    row q of the SMEM ``mw`` table carries the stiffness (tau) weights."""
+    nb = 2 * p + 1
+
+    def kernel(mw_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2,
+               sem):
+        iz = pl.program_id(0)
+        iy = pl.program_id(1)
+        bz = out_ref.shape[1]
+        by = out_ref.shape[2]
+        nx_p = out_ref.shape[3]
+        scratch = _slab_dma_canon_yb_allq(u_hbm, scratch2, sem, p, bz, by)
+        zb = zb_ref[pl.ds(iz * bz, bz)]
+        yb = yb_ref[pl.ds(iy * by, by)]
+        accs = [None] * q
+        for j in range(q):
+            Zm = None
+            Zk = None
+            for k in range(nb):
+                plane = scratch[j, k : k + bz]
+                wm = zb[:, k].reshape(bz, 1, 1)
+                ws = zb[:, nb + k].reshape(bz, 1, 1)
+                Zm = wm * plane if Zm is None else Zm + wm * plane
+                Zk = ws * plane if Zk is None else Zk + ws * plane
+            Cm = None
+            Ck = None
+            for k in range(nb):
+                rm = _yslice(Zm, k, p, by)
+                rk = _yslice(Zk, k, p, by)
+                wm = yb[:, k].reshape(1, by, 1)
+                ws = yb[:, nb + k].reshape(1, by, 1)
+                cm_term = wm * rm
+                ck_term = wm * rk + ws * rm
+                Cm = cm_term if Cm is None else Cm + cm_term
+                Ck = ck_term if Ck is None else Ck + ck_term
+            if x_roll:
+                MWb = None
+                KWb = None
+                for k in range(nb):
+                    rcm = _roll(Cm, p - k, 2)
+                    rck = _roll(Ck, p - k, 2)
+                    wm = xmat_ref[k].reshape(1, 1, -1)
+                    ws = xmat_ref[nb + k].reshape(1, 1, -1)
+                    MWb = wm * rcm if MWb is None else MWb + wm * rcm
+                    t = wm * rck + ws * rcm
+                    KWb = t if KWb is None else KWb + t
+            else:
+                MWb = _x_dot(Cm, xmat_ref[:nx_p], p)
+                KWb = _x_dot(
+                    jnp.concatenate([Ck, Cm], axis=-1), xmat_ref[:], p
+                )
+            for i in range(q):
+                t = mw_ref[i, j] * MWb
+                accs[i] = t if accs[i] is None else accs[i] + t
+            accs[j] = accs[j] + mw_ref[q, j] * KWb
+        for i in range(q):
+            out_ref[i] = accs[i]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "q", "by", "x_roll", "interpret")
+)
+def _fused_ms_mix_canon(mw, zb, yb, xmat, u_c, *, p, q, by, x_roll,
+                        interpret):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        nzp, ny_p, nx_p = u_c.shape[1], u_c.shape[2], u_c.shape[3]
+        bz = _BZ
+        return pl.pallas_call(
+            _make_kernel_ms_mix_3d_canon_yb(p, q, x_roll),
+            grid=(nzp // bz, ny_p // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (q, bz, by, nx_p), lambda iz, iy: _i32(0, iz, iy, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, q, _BZ + 2 * p, by + 16, nx_p), jnp.float32
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(mw, zb, yb, xmat, u_c)
+
+
+def fused_ms_mix_apply_canon(
+    ops: LevelOps, mat, tau, u_c, dim: int, *, interpret: bool = False,
+    force_yb: int = 0, tables=None,
+):
+    """``out_i = sum_j mat[i, j] (M u_j) + tau (K u_i)`` — the outer
+    SystemMatrix vmult (reference main.cc:1556-1591, "reduced vmults"
+    main.cc:1014-1028) on a canonical-layout stage block in ONE HBM
+    round trip.  ``mat`` is the q x q stage coupling (A^{-1});
+    the unfused equivalent is ``mix(mat, MW) + tau * KW`` over
+    ``fused_mass_stiffness_apply_canon``."""
+    interpret = interpret or _INTERPRET
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = u_c.shape[0]
+    by = force_yb or _ms_mix_by(u_c.shape, p, q)
+    if by <= 0:
+        raise ValueError("ms-mix kernel unsupported at this size")
+    # layout contract: same resolution as canon_tables (x_roll is a pure
+    # function of the canonical shape; the MXU y path is gated off in
+    # ms_mix_supported)
+    x_roll = _x_roll_ok(p, dim, u_c.shape[-1])
+    _check_canon_tables(tables, x_roll)
+    zb, yb, xmat = (
+        tables
+        if tables is not None
+        else _tables_canon(ops, u_c.shape, p, dim, x_roll, False)
+    )
+    tau_row = jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (1, q))
+    mw = jnp.concatenate([mat.astype(jnp.float32), tau_row], axis=0)
+    return _fused_ms_mix_canon(
+        mw, zb, yb, xmat, u_c, p=p, q=q, by=by, x_roll=x_roll,
+        interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,11 @@ class ComplexIRK(SchemeBase):
                 return prec.canon_tables[-1]
             return None
 
+        # one-pass stage mixes on canonical-layout fields (r4): the
+        # complex T/T^{-1} basis changes (reference main.cc:2149-2155,
+        # :2216-2225) otherwise cost ~4 HBM passes each as XLA dots
+        mix_c = st.stage_mix_canon if use_canon else stage_mix
+
         def complex_b(d_re, d_im, Z, tau, tb=None):
             """2x2 block complex apply over pair blocks (n2, 2, *spatial)
             (reference operator.h:593-666), flattened so the fused batched
@@ -201,7 +206,7 @@ class ComplexIRK(SchemeBase):
                 W_rhs = st.pad_canon(W_rhs, spatial, p_deg, dim)
             # complex T^{-1}: q real blocks -> n2 (re, im) pairs
             Z = jnp.stack(
-                [stage_mix(T_inv_re2, W_rhs), stage_mix(T_inv_im2, W_rhs)],
+                [mix_c(T_inv_re2, W_rhs), mix_c(T_inv_im2, W_rhs)],
                 axis=1,
             )  # (n2, 2, *spatial)
             Z = shard(Z)
@@ -228,9 +233,7 @@ class ComplexIRK(SchemeBase):
                 batch=True,
             )
             zr, zi = res.x[:, 0], res.x[:, 1]
-            W = jnp.einsum("ji,i...->j...", T_re_s, zr) - jnp.einsum(
-                "ji,i...->j...", T_im_s, zi
-            )
+            W = mix_c(T_re_s, zr) - mix_c(T_im_s, zi)
             if use_canon:
                 W = st.unpad_canon(W, spatial, dim)
             return W, res.n_iterations, res.M_carry

@@ -123,6 +123,14 @@ class IRK(SchemeBase):
             and st.canon_worthwhile(spatial, p_deg, dim)
         )
         self.use_canon = use_canon
+        # in-kernel stage coupling (r4): the outer vmult fuses the A^{-1}
+        # mix into the dual mass/stiffness kernel (one HBM round trip vs
+        # three: ms write + einsum read-combine-write) and the T/T^{-1}
+        # basis changes run as one-pass mix kernels — the r8 step's
+        # largest non-kernel slice (ROUND3_NOTES)
+        use_ms_mix = use_canon and st.ms_mix_supported(spatial, p_deg, dim, q)
+        self.use_ms_mix = use_ms_mix
+        mix_c = st.stage_mix_canon if use_canon else mixer
 
         def reinit(tau):
             return gmg_reinit(gmg, d_vec, tau, dim, mode, batch=True)
@@ -144,12 +152,16 @@ class IRK(SchemeBase):
         # refinement-8 program past the remote compiler's request cap.
         def raw_Aop(W, tau, tables):
             W = shard(W)
+            if use_ms_mix:
+                return st.fused_ms_mix_apply_canon(
+                    fine, A_inv, tau, W, dim, tables=tables
+                )
             if use_canon:
                 MW, KW = st.fused_mass_stiffness_apply_canon(
                     fine, W, dim, tables=tables
                 )
-            else:
-                MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
+                return mix_c(A_inv, MW) + tau * KW
+            MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
             return shard(mixer(A_inv, MW) + tau * KW)
 
         aop_jit = jax.jit(raw_Aop)
@@ -174,7 +186,7 @@ class IRK(SchemeBase):
                 Aop = lambda W: raw_Aop(W, tau, _fine_tables(prec))
 
             def raw_Mop(v, carry, tau, prec):
-                z = shard(mixer(T_inv, shard(v)))
+                z = shard(mix_c(T_inv, shard(v)))
                 if sequential_stages:
                     # per-stage sequential solves, one GMG pipeline per
                     # stage (reference `irk`, main.cc:1122-1154)
@@ -245,7 +257,7 @@ class IRK(SchemeBase):
                         gmg, prec, d_vec, tau, z, dim, mode, batch=True
                     )
                     carry = carry + 1
-                return shard(mixer(T, shard(z))), carry
+                return shard(mix_c(T, shard(z))), carry
 
             mop = jax.jit(raw_Mop) if share_ops else raw_Mop
             Mop = lambda v, carry: mop(v, carry, tau, prec)
@@ -277,6 +289,13 @@ class IRK(SchemeBase):
         # program, so the run driver re-times the pieces afterwards and
         # scales by the recorded application counts.
         def vmult_piece(W, tau):
+            if use_ms_mix:
+                Wc = st.pad_canon(W, spatial, p_deg, dim)
+                return st.unpad_canon(
+                    st.fused_ms_mix_apply_canon(fine, A_inv, tau, Wc, dim),
+                    spatial,
+                    dim,
+                )
             if use_canon:
                 Wc = st.pad_canon(W, spatial, p_deg, dim)
                 MW, KW = st.fused_mass_stiffness_apply_canon(fine, Wc, dim)

@@ -1,12 +1,17 @@
-"""Microbench: GMRES loop overhead on TPU — MGS vs CGS orthogonalization.
+"""Microbench: GMRES orthogonalization on TPU — MGS vs CGS at the
+huge-grid compact basis (VERDICT r3 #8).
 
-Uses a near-trivial operator (diagonal + tiny coupling) on bench-sized
-batched fields (4, 127^3) and a tolerance chosen so the solver runs a
-fixed ~15 iterations: the measured time is dominated by the Krylov loop
-machinery (basis writes, orthogonalization, carry copies), not the
-operator.  Not part of the test suite — a perf-engineering tool.
+Batched bench-shaped fields with a near-trivial but ill-conditioned
+operator (diagonal spectrum over 4 decades + a roll coupling), tolerance
+unreachable inside ``maxiter`` — so every run executes exactly
+``maxiter`` Krylov iterations and the measured time is the loop
+machinery: basis writes, orthogonalization passes, Givens/carry updates.
 
-Usage: python -u scripts/gmres_bench.py
+Timing discipline (CLAUDE.md): per-iteration cost is the SLOPE between
+two maxiter values of the same jitted program — fixed costs (dispatch,
+~0.6 s device->host pulls, restart recomputes amortized equally) cancel.
+
+Usage: python -m scripts.gmres_bench [m ...]    (default: 127 255)
 """
 
 from __future__ import annotations
@@ -17,50 +22,66 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+from dealii_spirk_tpu.solvers.krylov import COMPACT_BASIS, gmres
 
-from dealii_spirk_tpu.solvers.krylov import gmres  # noqa: E402
+Q = 4
+
+
+def solve_time(A, b, orthog: str, maxiter: int, restart: int) -> float:
+    fn = jax.jit(
+        lambda bb: gmres(
+            A,
+            bb,
+            maxiter=maxiter,
+            abstol=1e-30,
+            reltol=1e-14,  # unreachable in f32: full maxiter always runs
+            restart=restart,
+            batch=True,
+            orthog=orthog,
+            adaptive=0,
+        )
+    )
+    res = fn(b)
+    iters = [int(i) for i in res.n_iterations]
+    assert iters == [maxiter] * b.shape[0], iters  # fixed-work contract
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = fn(b)
+        float(jnp.sum(res.x))  # tiny pull forces true completion
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
-    n = 127
-    shape = (4, n, n, n)
-    key = jax.random.PRNGKey(0)
-    b = jax.random.normal(key, shape, dtype=jnp.float32)
-    # mildly non-normal operator => GMRES needs a good handful of iters
-    scale = 1.0 + 0.5 * jax.random.uniform(
-        jax.random.PRNGKey(1), shape, dtype=jnp.float32
+    sizes = [int(s) for s in sys.argv[1:]] or [127, 255]
+    R = COMPACT_BASIS
+    print(
+        f"device: {jax.devices()[0]}  (q={Q}, f32, restart={R}, "
+        f"slope maxiter {2 * R}->{6 * R})"
     )
+    for m in sizes:
+        shape = (Q, m, m, m)
+        b = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+        # 4-decade spectrum: GMRES(12) cannot reach 1e-14 -> fixed work
+        expo = jax.random.uniform(
+            jax.random.PRNGKey(1), shape, jnp.float32, 0.0, 4.0
+        )
+        scale = 10.0**expo
 
-    def A(v):
-        return scale * v + 0.3 * jnp.roll(v, 1, axis=-1)
+        def A(v):
+            return scale * v + 0.3 * jnp.roll(v, 1, axis=-1)
 
-    for orthog in ("mgs", "cgs"):
-        fn = jax.jit(
-            lambda bb: gmres(
-                A,
-                bb,
-                maxiter=100,
-                reltol=1e-6,
-                restart=28,
-                batch=True,
-                orthog=orthog,
+        gb = b.size * 4 / 1e9
+        for orthog in ("mgs", "cgs"):
+            t_lo = solve_time(A, b, orthog, 2 * R, R)
+            t_hi = solve_time(A, b, orthog, 6 * R, R)
+            per_it = (t_hi - t_lo) / (4 * R)
+            print(
+                f"m={m} ({gb * 1e3 / Q:5.0f} MB/vec) {orthog}: "
+                f"{per_it * 1e3:7.3f} ms/iter "
+                f"(~{per_it / (gb / 819.0):4.1f} basis passes)"
             )
-        )
-        res = fn(b)
-        jax.block_until_ready(res.x)
-        iters = [int(i) for i in res.n_iterations]
-        t0 = time.perf_counter()
-        reps = 10
-        for _ in range(reps):
-            res = fn(b)
-        jax.block_until_ready(res.x)
-        dt = (time.perf_counter() - t0) / reps
-        per_it = dt / max(iters)
-        print(
-            f"{orthog}: {dt * 1e3:7.2f} ms/solve  iters={iters}  "
-            f"{per_it * 1e3:6.3f} ms/iter"
-        )
 
 
 if __name__ == "__main__":

@@ -604,3 +604,67 @@ def test_ymxu_classic_wrappers_match_xla_oracle(monkeypatch):
                 np.asarray(a), np.asarray(b),
                 atol=float(3e-5 * np.abs(np.asarray(b)).max() + 1e-6),
             )
+
+
+def test_stage_mix_canon_matches_gemm():
+    """One-pass stage-mix kernel (r4): out_i = sum_j mat[i,j] W_j on
+    aligned layouts must equal the reshaped GEMM (the T/T^-1/A^-1 basis
+    changes of the IRK solve, reference main.cc:1443-1534), including a
+    rectangular mat and the off-layout fallback."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    rng = np.random.default_rng(3)
+    for q_out, q_in, shape in [
+        (4, 4, (16, 16, 128)),   # canonical r-like block
+        (2, 5, (8, 256)),        # rectangular, 2D layout
+        (3, 3, (24, 40, 128)),   # rows not a power of two
+    ]:
+        W = jnp.asarray(
+            rng.standard_normal((q_in,) + shape), jnp.float32
+        )
+        mat = jnp.asarray(rng.standard_normal((q_out, q_in)), jnp.float32)
+        want = (mat @ W.reshape(q_in, -1)).reshape((q_out,) + shape)
+        got = st.stage_mix_canon(mat, W, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want),
+            atol=float(1e-6 * np.abs(want).max() + 1e-7),
+        )
+
+    # off-layout (lane extent not a multiple of 128): exact GEMM fallback
+    W = jnp.asarray(rng.standard_normal((3, 8, 72)), jnp.float32)
+    mat = jnp.asarray(rng.standard_normal((3, 3)), jnp.float32)
+    got = st.stage_mix_canon(mat, W, interpret=True)
+    want = (mat @ W.reshape(3, -1)).reshape(W.shape)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("ref,p", [(4, 1), (4, 2), (3, 3)])
+def test_fused_ms_mix_matches_unfused(ref, p):
+    """Fused outer-vmult kernel (r4): A^-1 (M W) + tau (K W) in one pass
+    must match the unfused ms kernel + mix (reference SystemMatrix vmult,
+    main.cc:1556-1591) — p=1 exercises the in-kernel x-roll path, p>=2
+    the dense x dot."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    lev = make_level(ref, p)
+    ops = level_ops(lev, jnp.float32)
+    q = 4
+    spatial = (lev.m,) * 3
+    if not st.ms_mix_supported(spatial, p, 3, q):
+        pytest.skip(f"ms-mix unsupported at ref={ref} p={p}")
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.standard_normal((q,) + spatial), jnp.float32)
+    Wc = st.pad_canon(W, spatial, p, 3)
+    mat = jnp.asarray(rng.standard_normal((q, q)), jnp.float32)
+    tau = 0.37
+    MW, KW = st.fused_mass_stiffness_apply_canon(ops, Wc, 3, interpret=True)
+    want = (mat @ MW.reshape(q, -1)).reshape(MW.shape) + tau * KW
+    got = st.fused_ms_mix_apply_canon(ops, mat, tau, Wc, 3, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        atol=float(3e-5 * np.abs(np.asarray(want)).max() + 1e-6),
+    )
+    # zero pads in -> zero pads out (the canonical-layout contract)
+    mask = np.ones(got.shape, bool)
+    mask[(slice(None),) + tuple(slice(0, s) for s in spatial)] = False
+    np.testing.assert_array_equal(np.asarray(got)[mask], 0.0)
