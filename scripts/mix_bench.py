@@ -30,7 +30,7 @@ from dealii_spirk_tpu.ops.pallas import stencil as st
 Q = 4
 
 
-def slope(fn, args, reps=3):
+def slope(fn, args, reps=3, max_n=40000):
     """Per-iteration time of ``x -> fn(x, *args)`` chained in-graph.
 
     Auto-scaled two-point slope: the tunnel's fixed costs (a ~0.6 s
@@ -48,14 +48,18 @@ def slope(fn, args, reps=3):
 
         return run
 
-    r0 = runner(64)
+    n_probe = min(8, max_n)
+    r0 = runner(n_probe)
     float(jnp.sum(r0(*args)))  # compile
     t0 = time.perf_counter()
     float(jnp.sum(r0(*args)))
     # the probe includes the pull cost -> overestimates -> only makes
     # the timed runs longer (safe)
-    est = max((time.perf_counter() - t0 - 0.4) / 64, 5e-6)
-    n_hi = min(int(2.0 / est) + 64, 40000)
+    est = max((time.perf_counter() - t0 - 0.4) / n_probe, 5e-6)
+    # max_n bounds the chain: >=64-iteration loops over refinement-8
+    # fields reproducibly CRASH the remote TPU worker (three kills at
+    # the identical site; the same program at 8 iterations runs fine)
+    n_hi = min(int(2.0 / est) + n_probe, max_n)
     n_lo = max(n_hi // 8, 1)
 
     ts = []
@@ -91,11 +95,17 @@ def main():
         tabs = st.canon_tables(ops, spatial, p, 3)
         tau = jnp.float32(0.1)
 
+        # refinement-8 fields: bounded chains + more reps (see slope)
+        max_n = 40 if Wc.size * 4 > 100 * 2**20 else 40000
+        reps = 5 if max_n == 40 else 3
         t_gemm = slope(
             lambda x, mat: (mat @ x.reshape(Q, -1)).reshape(x.shape),
-            (Wc, A),
+            (Wc, A), reps=reps, max_n=max_n,
         )
-        t_mixk = slope(lambda x, mat: st.stage_mix_canon(mat, x), (Wc, A))
+        t_mixk = slope(
+            lambda x, mat: st.stage_mix_canon(mat, x), (Wc, A),
+            reps=reps, max_n=max_n,
+        )
 
         def aop_unfused(x, mat, t, tb):
             MW, KW = st.fused_mass_stiffness_apply_canon(
@@ -106,9 +116,13 @@ def main():
         def aop_fused(x, mat, t, tb):
             return st.fused_ms_mix_apply_canon(ops, mat, t, x, 3, tables=tb)
 
-        t_un = slope(aop_unfused, (Wc, A, tau, tabs))
+        t_un = slope(aop_unfused, (Wc, A, tau, tabs), reps=reps, max_n=max_n)
         ok = st.ms_mix_supported(spatial, p, 3, Q)
-        t_fu = slope(aop_fused, (Wc, A, tau, tabs)) if ok else float("nan")
+        t_fu = (
+            slope(aop_fused, (Wc, A, tau, tabs), reps=reps, max_n=max_n)
+            if ok
+            else float("nan")
+        )
         gb = nbytes / 1e9
         print(
             f"r{ref} m={m} canon={Wc.shape} "
