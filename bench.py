@@ -82,9 +82,12 @@ def _time_scheme(
     dtype = problem.dtype
     tau_ = jnp.asarray(tau, dtype=dtype)
 
+    # prec rides as a jit ARGUMENT: embedded as a closure constant its
+    # leaves inflate the program body past the remote compiler's request
+    # cap (HTTP 413) at refinement 8 (CLAUDE.md)
     def make_runner(n: int):
         @jax.jit
-        def run(u):
+        def run(u, prec):
             def body(carry, k):
                 u, _ = carry
                 t = (k.astype(dtype) + 2.0) * tau_
@@ -101,24 +104,24 @@ def _time_scheme(
         return run
 
     @jax.jit
-    def first_step(u):
+    def first_step(u, prec):
         W_rhs = scheme.rhs_fn(u, tau_, tau_)
         W, n_outer, _ = scheme.solve_fn(W_rhs, prec, tau_)
         return scheme.update_fn(u, W, tau_), n_outer
 
-    u0, _ = first_step(problem.initial_condition())
+    u0, _ = first_step(problem.initial_condition(), prec)
     jax.block_until_ready(u0)
 
     n_lo, n_hi = 2, 2 + n_steps
 
     def timed(n):
         run = make_runner(n)
-        u, n_outer, chk = run(u0)  # warmup/compile
+        u, n_outer, chk = run(u0, prec)  # warmup/compile
         c = float(chk)
         if not (c > 0 and c < 1e30):
             raise RuntimeError(f"non-finite solution checksum {c}")
         t0 = time.perf_counter()
-        u, n_outer, chk = run(u0)
+        u, n_outer, chk = run(u0, prec)
         c = float(chk)  # 4-byte pull: forces true completion
         return time.perf_counter() - t0, int(n_outer), u, n
 
