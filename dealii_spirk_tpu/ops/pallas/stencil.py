@@ -260,6 +260,10 @@ if _BF16X3 not in ("0", "1", "auto"):
 # SPIRK_YMXU=0 opts out.
 _YMXU = _os.environ.get("SPIRK_YMXU", "0") == "1"
 
+# Paired Chebyshev kernel (two smoother iterations per HBM round trip).
+# Default off: measured slower on v5e (see ``cheb2_supported``).
+_CHEB_PAIR = _os.environ.get("SPIRK_CHEB_PAIR", "0") == "1"
+
 # Force interpret-mode execution of every public kernel entry point
 # (CPU testing of the full pallas-mode solve paths, incl. schemes)
 _INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
@@ -1549,13 +1553,16 @@ def _make_kernel_ms_3d_canon_yb(p: int):
     return kernel
 
 
-def _make_kernel_cheb_3d_canon_yb(p: int):
+def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
     nb = 2 * p + 1
 
-    def kernel(
-        w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
-        r_out, d_out, x_out, scratch2, sem,
-    ):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, *rest):
+        if diag:
+            (dgz_ref, dgy_ref, dgx_ref, d_hbm, r_ref, x_ref,
+             r_out, d_out, x_out, scratch2, sem) = rest
+        else:
+            (d_hbm, r_ref, x_ref, invd_ref,
+             r_out, d_out, x_out, scratch2, sem) = rest
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         iy = pl.program_id(2)
@@ -1593,7 +1600,18 @@ def _make_kernel_cheb_3d_canon_yb(p: int):
             jnp.concatenate([C, D], axis=-1), xmat_ref[:]
         , p)
         r_new = r_ref[0] - Ad
-        z = invd_ref[0] * r_new
+        if diag:
+            dgz = dgz_ref[pl.ds(iz * bz, bz)]
+            dgy = dgy_ref[pl.ds(iy * by, by)]
+            z = _dg_z(
+                r_new, a, b,
+                dgz[:, 0].reshape(bz, 1, 1), dgz[:, 1].reshape(bz, 1, 1),
+                dgy[:, 0].reshape(1, by, 1), dgy[:, 1].reshape(1, by, 1),
+                dgx_ref[0:1].reshape(1, 1, -1),
+                dgx_ref[1:2].reshape(1, 1, -1),
+            )
+        else:
+            z = invd_ref[0] * r_new
         # value-level y slice (offset 8 is sublane-aligned); a 2-D Ref
         # slice here failed Mosaic's tile-divisibility prover on v5e
         dblk = scratch[p : p + bz][:, 8 : 8 + by, :]
@@ -1762,6 +1780,336 @@ def canon_tables(ops: LevelOps, spatial, p: int, dim: int):
     return _tables_canon(ops, shape_c, p, dim, x_roll, y_mxu)
 
 
+def cheb_diag_supported(spatial, p: int, dim: int) -> bool:
+    """True when the canonical Chebyshev kernel should compute the
+    Jacobi diagonal in-kernel from 1D Kronecker factors (drops the invd
+    read — 1 of the iteration's 7 HBM passes).  Only the y-blocked
+    sizes (by > 0): there the iteration is HBM-bound and the saved pass
+    measured 1.10x at refinement 8, while the small whole-plane grids
+    are compute-bound and the per-element division made them 6% SLOWER
+    (measured at refinement 7, p=1 — BASELINE round 4)."""
+    return (
+        dim == 3
+        and canon_supported(spatial, p, dim, cheb=True)
+        and canon_yb_for(spatial, p, dim, cheb=True) > 0
+    )
+
+
+def cheb_diag_tables(ops: LevelOps, spatial, p: int, dim: int):
+    """1D Jacobi-diagonal factors (dgz, dgy, dgx) for one level's
+    canonical layout: diag(aM + bK) = a·(mz⊗my⊗mx) + b·(kz⊗my⊗mx +
+    mz⊗ky⊗mx + mz⊗my⊗kx) (``ops/mass_laplace.py::operator_diagonal``,
+    reference ``operator.h:311-329``), rebuilt per element inside the
+    Chebyshev kernel instead of reading a precomputed (q, m³) inverse
+    from HBM.  Pad entries carry (mass 1, stiff 0) so the padded
+    diagonal stays strictly positive and pad lanes of the (zero)
+    residual map to z = 0/diag = 0 — the zero-halo invariant holds.
+    dgz/dgy are (n_p, 2) sublane tables; dgx is (2, nx_p) along lanes."""
+    nz_p, ny_p, nx_p = canon_shape(spatial, p, dim)[-3:]
+    dm = jnp.asarray(ops.mass_diag, jnp.float32)
+    dk = jnp.asarray(ops.stiff_diag, jnp.float32)
+    m = dm.shape[0]
+
+    def col(n_p):
+        mc = jnp.ones((n_p,), jnp.float32).at[:m].set(dm)
+        kc = jnp.zeros((n_p,), jnp.float32).at[:m].set(dk)
+        return jnp.stack([mc, kc], axis=1)
+
+    return col(nz_p), col(ny_p), col(nx_p).T
+
+
+def _dg_z(r_new, a, b, zm, zk, ym, yk, xm, xk):
+    """z = D⁻¹ r from the broadcast 1D diagonal factors (see
+    ``cheb_diag_tables``); ~5 extra VPU ops/element in place of one full
+    HBM read of invd."""
+    zmym = zm * ym
+    diag = (a * zmym + b * (zk * ym + zm * yk)) * xm + (b * zmym) * xk
+    return r_new / diag
+
+
+# ---------------------------------------------------------------------------
+# paired Chebyshev: TWO smoother iterations per HBM round trip
+# ---------------------------------------------------------------------------
+#
+# The fused Chebyshev iteration is HBM-bound at every degree (BASELINE
+# round-4 roofline: 41-47% of its HBM max-bound as 7 — with the in-kernel
+# diagonal 6 — logical passes).  Temporal blocking halves that: one
+# kernel invocation computes iterations k and k+1, reading d (z-halo 2p),
+# r (z-halo p) and x once and writing the three k+2 states once — ~7
+# logical passes for TWO iterations.  Stage 1 runs the apply + update on
+# an EXTENDED window (z: bz+2p planes, y: the full by+16 sublane window)
+# so the intermediate d_{k+1} is valid on every tap stage 2 consumes;
+# window rows beyond the domain get exact zeros (the pair band tables
+# carry zero rows there and the pair diag factors (mass 1, stiff 0) keep
+# the division finite), preserving the zero-halo invariant.
+#
+# The y window's 8-row halos bound the degree at p <= 4 (stage 1 consumes
+# rows 8-2p..; stage 2's taps stay >= 8-p) — exactly the fused-kernel
+# degree range.
+
+
+def _cheb2_by(shape_c, p: int) -> int:
+    """y-block size for the paired kernel: largest multiple-of-8 divisor
+    of ny_p whose working set fits scoped VMEM (two double-buffered DMA
+    scratches + extended stage-1 transients), else -1."""
+    q, nz_p, ny_p, nx_p = shape_c
+    bz = _BZ
+    ez = bz + 2 * p
+    for by in range(min(256, ny_p - 8), 7, -8):
+        if ny_p % by:
+            continue
+        byw = by + 16
+        floats = (
+            2 * (bz + 4 * p) * byw  # d scratch (z-halo 2p, 2 slots)
+            + 2 * ez * byw  # r scratch (z-halo p, 2 slots)
+            + 8 * ez * byw  # stage-1 transients (E/F/C/D/Ad/r1/z1/d1)
+            + 6 * bz * byw  # stage-2 transients
+            + 8 * bz * by  # blocked x in + 3 outs, double-buffered
+        ) * nx_p
+        if floats * 4 <= 11 * 2**20:
+            return by
+    return -1
+
+
+def cheb2_supported(spatial, p: int, dim: int, q: int) -> bool:
+    """True when the paired Chebyshev kernel can run: y-blocked 3D
+    canonical layout with the in-kernel diagonal (``cheb_diag_supported``)
+    and a VMEM-feasible pair block.
+
+    Default OFF (`SPIRK_CHEB_PAIR=1` opts in): measured SLOWER on v5e —
+    0.73x at r8 p=1, 0.51x at r7 p=2 (scripts/cheb_pair_bench.py).  The
+    single-iteration kernel already runs at ~84% of the HBM roof, so
+    compute ≈ transfer under the double-buffered DMA; pairing halves the
+    traffic but the halo-extended stage-1 window adds ~35-70% compute,
+    a net loss at every production size (BASELINE round 4)."""
+    if not _CHEB_PAIR:
+        return False
+    if not cheb_diag_supported(spatial, p, dim):
+        return False
+    shape_c = (q,) + canon_shape(spatial, p, dim)
+    return _cheb2_by(shape_c, p) > 0
+
+
+def cheb2_tables(ops: LevelOps, spatial, p: int, dim: int):
+    """Extended-window tables for the paired Chebyshev kernel: the z/y
+    band tables padded with 8 zero rows each side (row j ↔ global j − 8,
+    so the kernel's aligned 24-row z loads and by+16 y window loads stay
+    in range and out-of-domain outputs come out exactly zero), and the
+    matching diag factors padded with (mass 1, stiff 0) rows so the
+    extended division stays finite."""
+    nz_p, ny_p, _ = canon_shape(spatial, p, dim)[-3:]
+    zb = _band_table(ops, nz_p)
+    yb = _band_table(ops, ny_p)
+    zb_pair = jnp.pad(zb, ((8, 8), (0, 0)))
+    yb_pair = jnp.pad(yb, ((8, 8), (0, 0)))
+    dgz, dgy, _ = cheb_diag_tables(ops, spatial, p, dim)
+    # rows outside the table: mass factor 1, stiffness factor 0
+    pad10 = lambda t, h: jnp.stack(
+        [
+            jnp.pad(t[:, 0], (h, h), constant_values=1.0),
+            jnp.pad(t[:, 1], (h, h), constant_values=0.0),
+        ],
+        axis=1,
+    )
+    dgz_pair = pad10(dgz, 8)
+    dgy_pair = pad10(dgy, 8)
+    return zb_pair, yb_pair, dgz_pair, dgy_pair
+
+
+def _make_kernel_cheb2_3d_canon_yb(p: int):
+    """TWO fused Chebyshev iterations per HBM round trip (see the module
+    note above ``_cheb2_by``).  All stage-2 band/diag rows are trims of
+    the 8-row-padded pair tables, so the kernel carries no duplicate
+    standard tables; ``w`` is (q, 6): a, b, c1/c2 of iteration k and of
+    iteration k+1."""
+    nb = 2 * p + 1
+
+    def kernel(
+        w_ref, xmat_ref, zbp_ref, ybp_ref, dgzp_ref, dgyp_ref, dgx_ref,
+        d_hbm, r_hbm, x_ref, r_out, d_out, x_out, dscr, dsem, rscr, rsem,
+    ):
+        iq = pl.program_id(0)
+        iz = pl.program_id(1)
+        iy = pl.program_id(2)
+        bz = r_out.shape[1]
+        by = r_out.shape[2]
+        byw = by + 16
+        ez = bz + 2 * p
+        d0 = _slab_dma_canon_yb(d_hbm, dscr, dsem, 2 * p, bz, by)
+        r0 = _slab_dma_canon_yb(r_hbm, rscr, rsem, p, bz, by)
+        a = w_ref[iq, 0]
+        b = w_ref[iq, 1]
+        c1a = w_ref[iq, 2]
+        c2a = w_ref[iq, 3]
+        c1b = w_ref[iq, 4]
+        c2b = w_ref[iq, 5]
+        # aligned 24-row loads of the z-axis pair tables, trimmed at
+        # value level (the trims' offsets are static)
+        zbp_w = zbp_ref[pl.ds(iz * bz, 24)]
+        dgzp_w = dgzp_ref[pl.ds(iz * bz, 24)]
+        ybp_w = ybp_ref[pl.ds(iy * by, byw)]
+        dgyp_w = dgyp_ref[pl.ds(iy * by, byw)]
+        xm = dgx_ref[0:1].reshape(1, 1, -1)
+        xk = dgx_ref[1:2].reshape(1, 1, -1)
+
+        # ---- stage 1: iteration k on the extended window ------------
+        # outputs e in [0, ez) sit at global z = iz*bz - p + e and span
+        # the full by+16 y window; rows/planes outside the domain come
+        # out exactly zero (zero pair-table rows x zero-filled halos)
+        zb1 = zbp_w[8 - p : 8 - p + ez]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = d0[k : k + ez]
+            wm = zb1[:, k].reshape(ez, 1, 1)
+            ws = zb1[:, nb + k].reshape(ez, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        C = None
+        D = None
+        for k in range(nb):
+            # full-window y pass via rolls: rows [8-p, 8+by+p) are
+            # exact; edge rows are garbage but never consumed below
+            rE = _roll(E, p - k, 1)
+            rF = _roll(F, p - k, 1)
+            wm = ybp_w[:, k].reshape(1, byw, 1)
+            ws = ybp_w[:, nb + k].reshape(1, byw, 1)
+            c_term = wm * rE + ws * rF
+            d_term = wm * rF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        Ad0 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+        r1 = r0[0:ez] - Ad0
+        dgz1 = dgzp_w[8 - p : 8 - p + ez]
+        z1 = _dg_z(
+            r1, a, b,
+            dgz1[:, 0].reshape(ez, 1, 1), dgz1[:, 1].reshape(ez, 1, 1),
+            dgyp_w[:, 0].reshape(1, byw, 1),
+            dgyp_w[:, 1].reshape(1, byw, 1),
+            xm, xk,
+        )
+        d1 = c1a * d0[p : p + ez] + c2a * z1
+
+        # ---- stage 2: iteration k+1 on the core block ----------------
+        zb2 = zbp_w[8 : 8 + bz]
+        Zm = None
+        Zk = None
+        for k in range(nb):
+            plane = d1[k : k + bz]
+            wm = zb2[:, k].reshape(bz, 1, 1)
+            ws = zb2[:, nb + k].reshape(bz, 1, 1)
+            Zm = wm * plane if Zm is None else Zm + wm * plane
+            Zk = ws * plane if Zk is None else Zk + ws * plane
+        E = a * Zm + b * Zk
+        F = b * Zm
+        yb2 = ybp_w[8 : 8 + by]
+        C = None
+        D = None
+        for k in range(nb):
+            sE = _yslice(E, k, p, by)
+            sF = _yslice(F, k, p, by)
+            wm = yb2[:, k].reshape(1, by, 1)
+            ws = yb2[:, nb + k].reshape(1, by, 1)
+            c_term = wm * sE + ws * sF
+            d_term = wm * sF
+            C = c_term if C is None else C + c_term
+            D = d_term if D is None else D + d_term
+        Ad1 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+        r1c = r1[p : p + bz][:, 8 : 8 + by, :]
+        d1c = d1[p : p + bz][:, 8 : 8 + by, :]
+        r2 = r1c - Ad1
+        dgz2 = dgzp_w[8 : 8 + bz]
+        dgy2 = dgyp_w[8 : 8 + by]
+        z2 = _dg_z(
+            r2, a, b,
+            dgz2[:, 0].reshape(bz, 1, 1), dgz2[:, 1].reshape(bz, 1, 1),
+            dgy2[:, 0].reshape(1, by, 1), dgy2[:, 1].reshape(1, by, 1),
+            xm, xk,
+        )
+        d_new = c1b * d1c + c2b * z2
+        r_out[0] = r2
+        d_out[0] = d_new
+        x_out[0] = x_ref[0] + d1c + d_new
+
+    return kernel
+
+
+def fused_cheb_pair_canon(
+    ops: LevelOps, a, b, c1a, c2a, c1b, c2b, d_c, r_c, x_c, dim: int,
+    *, tables=None, diag_tables=None, pair_tables=None,
+    interpret: bool = False, force_yb: int = 0,
+):
+    """TWO fused Chebyshev iterations in one HBM round trip (canonical
+    y-blocked 3D layout; gate with ``cheb2_supported``).  Same state
+    convention as two chained ``fused_cheb_iter_canon`` calls with
+    coefficients (c1a, c2a) then (c1b, c2b)."""
+    interpret = interpret or _INTERPRET
+    p = (ops.mass_band.shape[0] - 1) // 2
+    q = d_c.shape[0]
+    to_q = lambda s: jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
+    )
+    w = jnp.stack(
+        [to_q(a), to_q(b), to_q(c1a), to_q(c2a), to_q(c1b), to_q(c2b)],
+        axis=1,
+    )
+    by = force_yb or _cheb2_by(d_c.shape, p)
+    if by <= 0:
+        raise ValueError("paired cheb kernel unsupported at this size")
+    # the pair kernel always contracts x with the dense table; threaded
+    # tables carry it at every production pair size (by > 0 implies
+    # nx_p >= 256, past the lane-roll range), but rebuild locally when
+    # handed lane-roll tables (small forced-yb grids in tests)
+    xmat = tables[2] if tables is not None else None
+    if xmat is None or xmat.shape[0] != 2 * xmat.shape[1]:
+        xmat = _tables_canon(ops, d_c.shape, p, dim, False)[2]
+    if diag_tables is None or pair_tables is None:
+        raise ValueError("paired cheb kernel needs diag + pair tables")
+    dgx = diag_tables[2]
+    zbp, ybp, dgzp, dgyp = pair_tables
+    return _fused_cheb2_canon(
+        w, xmat, zbp, ybp, dgzp, dgyp, dgx, d_c, r_c, x_c, p=p, by=by,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("p", "by", "interpret"))
+def _fused_cheb2_canon(
+    w, xmat, zbp, ybp, dgzp, dgyp, dgx, d_c, r_c, x_c, *, p, by, interpret
+):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q, nzp, ny_p, nx_p = d_c.shape
+        bz = _BZ
+        shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        blocked = pl.BlockSpec(
+            (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+        )
+        return pl.pallas_call(
+            _make_kernel_cheb2_3d_canon_yb(p),
+            grid=(q, nzp // bz, ny_p // by),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blocked,
+            ],
+            out_specs=(blocked, blocked, blocked),
+            out_shape=(shape, shape, shape),
+            scratch_shapes=[
+                pltpu.VMEM((2, bz + 4 * p, by + 16, nx_p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, bz + 2 * p, by + 16, nx_p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(w, xmat, zbp, ybp, dgzp, dgyp, dgx, d_c, r_c, x_c)
+
+
 def fused_stencil_apply_canon(
     ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False,
     force_yb: int = 0, tables=None,
@@ -1883,11 +2231,17 @@ def fused_mass_stiffness_apply_canon(
 def fused_cheb_iter_canon(
     ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
     *, interpret: bool = False, force_yb: int = 0, tables=None,
+    diag_tables=None,
 ):
     """One fused Chebyshev iteration on canonical-layout stage blocks
     (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
     single HBM pass.  Pads of every input zero implies pads of every
-    output zero — nothing to re-zero."""
+    output zero — nothing to re-zero.
+
+    With ``diag_tables`` (from ``cheb_diag_tables``) the kernel rebuilds
+    D⁻¹ in-kernel from the 1D Kronecker factors instead of reading
+    ``invd_c`` — one fewer HBM pass per iteration (``invd_c`` may then
+    be None)."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = d_c.shape[0]
@@ -1904,10 +2258,71 @@ def fused_cheb_iter_canon(
         if tables is not None
         else _tables_canon(ops, d_c.shape, p, dim, x_roll, y_mxu)
     )
+    if diag_tables is not None and dim == 3:
+        dgz, dgy, dgx = diag_tables
+        return _fused_cheb_canon_dg(
+            w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, p=p,
+            interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
+        )
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
         interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "interpret", "x_roll", "by", "y_mxu")
+)
+def _fused_cheb_canon_dg(
+    w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, *, p, interpret, x_roll,
+    by=0, y_mxu=False,
+):
+    from jax._src.config import enable_x64 as _scoped_x64
+
+    with _scoped_x64(False):
+        q, nzp, ny_p, nx_p = d_c.shape
+        bz = _BZ
+        shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        small = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        if by:
+            blocked = pl.BlockSpec(
+                (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+            )
+            return pl.pallas_call(
+                _make_kernel_cheb_3d_canon_yb(p, diag=True),
+                grid=(q, nzp // bz, ny_p // by),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    *small,
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    blocked,
+                    blocked,
+                ],
+                out_specs=(blocked, blocked, blocked),
+                out_shape=(shape, shape, shape),
+                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                interpret=interpret,
+            )(w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c)
+        blocked = pl.BlockSpec(
+            (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+        )
+        return pl.pallas_call(
+            _make_kernel_cheb_3d(
+                p, x_roll=x_roll, canon=True, y_mxu=y_mxu, diag=True
+            ),
+            grid=(q, nzp // bz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *small,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blocked,
+                blocked,
+            ],
+            out_specs=(blocked, blocked, blocked),
+            out_shape=(shape, shape, shape),
+            scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
+            interpret=interpret,
+        )(w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c)
 
 
 @functools.partial(
@@ -2511,13 +2926,17 @@ def fused_stencil_apply_padded(
 
 
 def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
-                         y_mxu: bool = False):
+                         y_mxu: bool = False, diag: bool = False):
     nb = 2 * p + 1
+    assert not diag or canon  # factor pads assume the canonical layout
 
-    def kernel(
-        w_ref, zb_ref, yb_ref, xmat_ref, d_hbm, r_ref, x_ref, invd_ref,
-        r_out, d_out, x_out, scratch2, sem,
-    ):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, *rest):
+        if diag:
+            (dgz_ref, dgy_ref, dgx_ref, d_hbm, r_ref, x_ref,
+             r_out, d_out, x_out, scratch2, sem) = rest
+        else:
+            (d_hbm, r_ref, x_ref, invd_ref,
+             r_out, d_out, x_out, scratch2, sem) = rest
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = r_out.shape[1]
@@ -2572,7 +2991,18 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         else:
             Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
         r_new = r_ref[0] - Ad
-        z = invd_ref[0] * r_new
+        if diag:
+            dgz = dgz_ref[pl.ds(iz * bz, bz)]
+            z = _dg_z(
+                r_new, a, b,
+                dgz[:, 0].reshape(bz, 1, 1), dgz[:, 1].reshape(bz, 1, 1),
+                dgy_ref[:, 0].reshape(1, ny_p, 1),
+                dgy_ref[:, 1].reshape(1, ny_p, 1),
+                dgx_ref[0:1].reshape(1, 1, -1),
+                dgx_ref[1:2].reshape(1, 1, -1),
+            )
+        else:
+            z = invd_ref[0] * r_new
         d_new = c1 * scratch[p : p + bz] + c2 * z
         r_out[0] = r_new
         d_out[0] = d_new

@@ -68,6 +68,15 @@ class GMGPrec(NamedTuple):
     # kernel wrappers so the hot loop neither rebuilds them in-graph nor
     # embeds them as literals (ops/pallas/stencil.py::canon_tables)
     canon_tables: tuple[tuple | None, ...] | None = None
+    # per-level 1D Jacobi-diagonal factors (dgz, dgy, dgx): the fused
+    # Chebyshev kernel rebuilds D⁻¹ in-kernel from these instead of
+    # reading the (q, m³) inverse — one fewer HBM pass per iteration
+    # (ops/pallas/stencil.py::cheb_diag_tables)
+    cheb_diag_canon: tuple[tuple | None, ...] | None = None
+    # per-level extended-window tables for the PAIRED Chebyshev kernel
+    # (two iterations per HBM round trip; ops/pallas/stencil.py::
+    # cheb2_tables) — None at levels where the pair kernel can't run
+    cheb2_canon: tuple[tuple | None, ...] | None = None
 
 
 # levels at or below this DoF count are dropped and solved exactly by the
@@ -223,6 +232,8 @@ def gmg_reinit(
     inv_diags_padded = None
     inv_diags_canon = None
     canon_tables = None
+    cheb_diag_canon = None
+    cheb2_canon = None
     if mode == "pallas" and batch:
         from ..ops.pallas import stencil as st
 
@@ -234,15 +245,35 @@ def gmg_reinit(
             )
         fine_sp = (gmg.level_ops[-1].m,) * dim
         if st.canon_worthwhile(fine_sp, p, dim):
+            # only at levels where the in-kernel diag factors CANNOT run
+            # (cheb_diag_canon replaces the padded inverse elsewhere —
+            # at refinement 8 that's ~270 MB of HBM and a full read per
+            # smoother iteration)
             inv_diags_canon = tuple(
                 st.pad_canon(invd, (ops.m,) * dim, p, dim)
-                if st.canon_supported((ops.m,) * dim, p, dim)
+                if (
+                    st.canon_supported((ops.m,) * dim, p, dim)
+                    and not st.cheb_diag_supported((ops.m,) * dim, p, dim)
+                )
                 else None
                 for invd, ops in zip(inv_diags, gmg.level_ops)
             )
             canon_tables = tuple(
                 st.canon_tables(ops, (ops.m,) * dim, p, dim)
                 if st.canon_supported((ops.m,) * dim, p, dim)
+                else None
+                for ops in gmg.level_ops
+            )
+            cheb_diag_canon = tuple(
+                st.cheb_diag_tables(ops, (ops.m,) * dim, p, dim)
+                if st.cheb_diag_supported((ops.m,) * dim, p, dim)
+                else None
+                for ops in gmg.level_ops
+            )
+            q_stages = a.shape[0] if batch else 1
+            cheb2_canon = tuple(
+                st.cheb2_tables(ops, (ops.m,) * dim, p, dim)
+                if st.cheb2_supported((ops.m,) * dim, p, dim, q_stages)
                 else None
                 for ops in gmg.level_ops
             )
@@ -255,6 +286,8 @@ def gmg_reinit(
         inv_diags_padded=inv_diags_padded,
         inv_diags_canon=inv_diags_canon,
         canon_tables=canon_tables,
+        cheb_diag_canon=cheb_diag_canon,
+        cheb2_canon=cheb2_canon,
     )
 
 
@@ -413,6 +446,7 @@ def _chebyshev_padded(
 def _chebyshev_canon(
     ops, a, b, invd_c, theta, delta, r_c, dim,
     *, x0_c=None, degree=SMOOTHER_DEGREE, interpret=False, tables=None,
+    diag_tables=None, pair_tables=None,
 ):
     """Chebyshev smoothing on canonical-layout stage blocks.  3D uses the
     fused iteration kernel (one HBM pass per iteration); 2D runs the
@@ -431,6 +465,30 @@ def _chebyshev_canon(
     def ex(s):
         return s.reshape(s.shape + (1,) * (r_c.ndim - 1))
 
+    if diag_tables is not None:
+        # init-step D⁻¹ from the 1D Kronecker factors: the broadcast
+        # products fuse into the division (XLA), so no (q, m³) inverse
+        # is read — or even materialized (pads carry mass 1 / stiff 0,
+        # so the padded diagonal is positive and zero pads stay zero)
+        dgz, dgy, dgx = diag_tables
+        aq = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (r_c.shape[0],)
+        )
+        zmym = (
+            dgz[:, 0][None, :, None, None] * dgy[:, 0][None, None, :, None]
+        )
+        zkym_zmyk = (
+            dgz[:, 1][None, :, None, None] * dgy[:, 0][None, None, :, None]
+            + dgz[:, 0][None, :, None, None]
+            * dgy[:, 1][None, None, :, None]
+        )
+        diag = (aq[:, None, None, None] * zmym + b * zkym_zmyk) * dgx[0] + (
+            b * zmym
+        ) * dgx[1]
+        apply_invd = lambda t: t / diag
+    else:
+        apply_invd = lambda t: invd_c * t
+
     if x0_c is None:
         rr = r_c
         x = jnp.zeros_like(r_c)
@@ -439,7 +497,7 @@ def _chebyshev_canon(
             ops, a, b, x0_c, dim, interpret=interpret, tables=tables
         )
         x = x0_c
-    z = invd_c * rr
+    z = apply_invd(rr)
     d = z / ex(theta)
     x = x + d
     sigma = theta / delta
@@ -452,22 +510,44 @@ def _chebyshev_canon(
         c2 = 2.0 * rho_new / delta
         rr, d, x = st.fused_cheb_iter_canon(
             ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret,
-            tables=tables,
+            tables=tables, diag_tables=diag_tables,
         )
         return rr, d, x, rho_new
+
+    def body2(_k, state):
+        # TWO iterations per kernel invocation (temporal blocking): the
+        # paired kernel halves the smoother's HBM traffic
+        rr, d, x, rho = state
+        rho1 = 1.0 / (2.0 * sigma - rho)
+        rho2 = 1.0 / (2.0 * sigma - rho1)
+        rr, d, x = st.fused_cheb_pair_canon(
+            ops, a, b, rho1 * rho, 2.0 * rho1 / delta,
+            rho2 * rho1, 2.0 * rho2 / delta, d, rr, x, dim,
+            tables=tables, diag_tables=diag_tables,
+            pair_tables=pair_tables, interpret=interpret,
+        )
+        return rr, d, x, rho2
 
     # unrolled by default (a fori_loop's carry boundaries cost ~5 ms/step
     # at refinement 7); fori only at huge grids, where one kernel call
     # site instead of degree-1 keeps the program inside the remote
     # compiler's request cap
     state = (rr, d, x, rho)
+    n_it = degree - 1
+    use_pair = pair_tables is not None and diag_tables is not None
+    n_pair, n_single = divmod(n_it, 2) if use_pair else (0, n_it)
     if r_c.size <= 16_000_000:
-        for k in range(degree - 1):
+        for k in range(n_pair):
+            state = body2(k, state)
+        for k in range(n_single):
             state = body(k, state)
     else:
         from jax import lax
 
-        state = lax.fori_loop(0, degree - 1, body, state)
+        if n_pair:
+            state = lax.fori_loop(0, n_pair, body2, state)
+        if n_single:
+            state = lax.fori_loop(0, n_single, body, state)
     _rr, _d, x, _rho = state
     return x
 
@@ -501,10 +581,17 @@ def vcycle_canon(
     spatials = [(ops.m,) * dim for ops in gmg.level_ops]
 
     def _canon_ok(l):
-        return (
+        # a canonical level carries EITHER the padded inverse diagonal or
+        # the 1D diag factors (gmg_reinit builds exactly one of the two)
+        inv_ok = (
             prec.inv_diags_canon is not None
             and prec.inv_diags_canon[l] is not None
         )
+        dg_ok = (
+            prec.cheb_diag_canon is not None
+            and prec.cheb_diag_canon[l] is not None
+        )
+        return inv_ok or dg_ok
 
     def _transfer_mats(l):
         """Canonical-embedded 1D transfer matrices, levels l <-> l+1."""
@@ -551,6 +638,16 @@ def vcycle_canon(
                 prec.thetas[l], prec.deltas[l], rl_c, dim,
                 x0_c=x0_c, degree=degree, interpret=interpret,
                 tables=_tables(l),
+                diag_tables=(
+                    prec.cheb_diag_canon[l]
+                    if prec.cheb_diag_canon is not None
+                    else None
+                ),
+                pair_tables=(
+                    prec.cheb2_canon[l]
+                    if prec.cheb2_canon is not None
+                    else None
+                ),
             )
         # small level: compact classic smoothing (arrays are tiny here)
         sp = spatials[l]

@@ -47,8 +47,10 @@ from scripts.mix_bench import slope
 Q = 4
 HBM_GBPS = 819.0
 VPU_OPS = 3.5e12
-MXU_MACS_BF16X3 = 66e12  # 197 TFLOP bf16 / 3 passes
-MXU_MACS_HIGH = 33e12  # ~6 f32-emulation passes
+# v5e MXU peak: 197 TFLOP/s bf16 = 98.5 T MAC/s (1 MAC = 2 FLOPs).
+# bf16x3 f32 emulation costs 3 passes, HIGHEST costs 6.
+MXU_MACS_BF16X3 = 98.5e12 / 3
+MXU_MACS_HIGH = 98.5e12 / 6
 
 
 def main():

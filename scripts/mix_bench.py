@@ -48,11 +48,16 @@ def slope(fn, args, reps=3, max_n=40000):
 
         return run
 
+    def pull(out):
+        # tiny pull forces true completion; pytree-aware (loop state may
+        # be a field tuple)
+        return sum(float(jnp.sum(l)) for l in jax.tree_util.tree_leaves(out))
+
     n_probe = min(8, max_n)
     r0 = runner(n_probe)
-    float(jnp.sum(r0(*args)))  # compile
+    pull(r0(*args))  # compile
     t0 = time.perf_counter()
-    float(jnp.sum(r0(*args)))
+    pull(r0(*args))
     # the probe includes the pull cost -> overestimates -> only makes
     # the timed runs longer (safe)
     est = max((time.perf_counter() - t0 - 0.4) / n_probe, 5e-6)
@@ -65,12 +70,12 @@ def slope(fn, args, reps=3, max_n=40000):
     ts = []
     for n in (n_lo, n_hi):
         run = runner(n)
-        float(jnp.sum(run(*args)))  # compile + settle
+        pull(run(*args))  # compile + settle
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             out = run(*args)
-            float(jnp.sum(out))  # tiny pull forces true completion
+            pull(out)
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     return (ts[1] - ts[0]) / (n_hi - n_lo)

@@ -390,6 +390,126 @@ def test_canon_cheb_iter_matches_elementwise():
         assert float(jnp.abs(jnp.where(mask, got, 0)).max()) == 0.0
 
 
+@pytest.mark.parametrize("p,ref,force_yb", [(1, 4, 0), (1, 4, 8), (2, 3, 8)])
+def test_canon_cheb_diag_tables_match_invd(p, ref, force_yb):
+    """The in-kernel Jacobi diagonal (1D Kronecker factors,
+    ``cheb_diag_tables``) must reproduce the precomputed-invd iteration
+    to f32 roundoff on both the whole-plane and y-blocked kernels, with
+    pads exactly zero (reference diag semantics: operator.h:311-329)."""
+    from dealii_spirk_tpu.ops.mass_laplace import operator_diagonal
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim = 3
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(2)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    mk = lambda: pc(jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32))
+    d0, r0, x0 = mk(), mk(), mk()
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b, c1, c2 = jnp.float32(0.21), 0.7, 0.4
+    invd_c = pc(jax.vmap(lambda ai: 1.0 / operator_diagonal(ops, ai, b, dim))(a))
+    dg = st.cheb_diag_tables(ops, sp, p, dim)
+    want = st.fused_cheb_iter_canon(
+        ops, a, b, c1, c2, d0, r0, x0, invd_c, dim, interpret=True,
+        force_yb=force_yb,
+    )
+    got = st.fused_cheb_iter_canon(
+        ops, a, b, c1, c2, d0, r0, x0, None, dim, interpret=True,
+        force_yb=force_yb, diag_tables=dg,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
+        mask = np.ones(g.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+        assert float(jnp.abs(jnp.where(mask, g, 0)).max()) == 0.0
+
+
+@pytest.mark.parametrize("p,ref", [(1, 4), (2, 3)])
+def test_canon_cheb_pair_matches_chained(p, ref):
+    """The paired Chebyshev kernel (``fused_cheb_pair_canon`` — TWO
+    smoother iterations per HBM round trip via temporal blocking) must
+    reproduce two chained single-iteration kernels to f32 roundoff,
+    pads exactly zero — the halo-extended stage-1 window and the
+    zero-padded pair tables must hand stage 2 valid intermediates on
+    every tap (reference smoother loop: preconditioner.h:219-501)."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim = 3
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(7)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    mk = lambda: pc(jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32))
+    d0, r0, x0 = mk(), mk(), mk()
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b = jnp.float32(0.21)
+    c1a, c2a, c1b, c2b = 0.7, 0.4, 0.55, 0.3
+    dg = st.cheb_diag_tables(ops, sp, p, dim)
+    pair = st.cheb2_tables(ops, sp, p, dim)
+    r1, d1, x1 = st.fused_cheb_iter_canon(
+        ops, a, b, c1a, c2a, d0, r0, x0, None, dim, interpret=True,
+        force_yb=8, diag_tables=dg,
+    )
+    want = st.fused_cheb_iter_canon(
+        ops, a, b, c1b, c2b, d1, r1, x1, None, dim, interpret=True,
+        force_yb=8, diag_tables=dg,
+    )
+    got = st.fused_cheb_pair_canon(
+        ops, a, b, c1a, c2a, c1b, c2b, d0, r0, x0, dim,
+        diag_tables=dg, pair_tables=pair, interpret=True, force_yb=8,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=4e-5)
+        mask = np.ones(g.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+        assert float(jnp.abs(jnp.where(mask, g, 0)).max()) == 0.0
+
+
+@pytest.mark.parametrize("degree", [4, 5])
+def test_chebyshev_canon_pair_path_matches_single(degree):
+    """``_chebyshev_canon`` with pair tables (two-iteration kernel, plus
+    one trailing single when degree-1 is odd) must match the plain
+    single-iteration execution exactly in exact arithmetic — same
+    Chebyshev recurrence, different blocking."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+    from dealii_spirk_tpu.solvers.gmg import _chebyshev_canon
+
+    dim, p, ref = 3, 1, 4
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(11)
+    q = 2
+    r = st.pad_canon(
+        jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32), sp, p, dim
+    )
+    a = jnp.asarray([1.5, 4.0], jnp.float32)
+    b = jnp.float32(0.1)
+    theta = jnp.asarray([2.0, 2.4], jnp.float32)
+    delta = jnp.asarray([1.1, 1.3], jnp.float32)
+    dg = st.cheb_diag_tables(ops, sp, p, dim)
+    pair = st.cheb2_tables(ops, sp, p, dim)
+    want = _chebyshev_canon(
+        ops, a, b, None, theta, delta, r, dim, degree=degree,
+        interpret=True, diag_tables=dg,
+    )
+    got = _chebyshev_canon(
+        ops, a, b, None, theta, delta, r, dim, degree=degree,
+        interpret=True, diag_tables=dg, pair_tables=pair,
+    )
+    # different summation order (y-blocked pair vs whole-plane single):
+    # f32 roundoff relative to the field scale
+    w = np.asarray(want)
+    np.testing.assert_allclose(
+        np.asarray(got), w, atol=float(3e-5 * np.abs(w).max())
+    )
+
+
 def test_canon_vcycle_matches_classic():
     from dealii_spirk_tpu.fem.grid import make_space
     from dealii_spirk_tpu.ops.pallas import stencil as st
@@ -426,6 +546,53 @@ def test_canon_vcycle_matches_classic():
         mask = np.ones(out_c.shape, bool)
         mask[(slice(None),) + tuple(slice(0, s) for s in space.shape)] = False
         assert float(jnp.abs(jnp.where(mask, out_c, 0)).max()) == 0.0
+
+
+def test_canon_vcycle_cheb_diag_wiring(monkeypatch):
+    """End-to-end wiring of the in-kernel diag factors: gmg_reinit must
+    build ``cheb_diag_canon`` (and drop the padded inverse at those
+    levels), and ``vcycle_canon`` must dispatch the factor kernels — the
+    real gate only opens at production sizes, so force it here and
+    compare against the classic execution."""
+    from dealii_spirk_tpu.fem.grid import make_space
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+    from dealii_spirk_tpu.solvers.gmg import (
+        build_gmg_data,
+        gmg_reinit,
+        vcycle,
+        vcycle_canon,
+    )
+
+    monkeypatch.setattr(
+        st,
+        "cheb_diag_supported",
+        lambda sp, p, dim: dim == 3
+        and st.canon_supported(sp, p, dim, cheb=True),
+    )
+    # canon_worthwhile gates the whole canonical build at test scale
+    monkeypatch.setattr(st, "canon_worthwhile", lambda *a, **k: True)
+    dim, pdeg, ref = 3, 1, 5
+    space = make_space(dim, pdeg, ref)
+    gmg = build_gmg_data(space, dtype=jnp.float32, with_dense=False)
+    shifts = jnp.asarray([1.5, 4.0], jnp.float32)
+    prec = gmg_reinit(gmg, shifts, 0.1, dim, mode="pallas", batch=True)
+    assert prec.cheb_diag_canon is not None
+    n_dg = sum(dg is not None for dg in prec.cheb_diag_canon)
+    assert n_dg > 0
+    # exactly one of (factors, padded inverse) per canonical level
+    for dg, invd in zip(prec.cheb_diag_canon, prec.inv_diags_canon):
+        assert dg is None or invd is None
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.standard_normal((2,) + space.shape), jnp.float32)
+    out_cls = vcycle(gmg, prec, shifts, 0.1, r, dim, "stencil", batch=True)
+    r_c = st.pad_canon(r, space.shape, pdeg, dim)
+    out_c = vcycle_canon(gmg, prec, shifts, 0.1, r_c, dim, interpret=True)
+    got = st.unpad_canon(out_c, space.shape, dim)
+    rel = float(jnp.abs(got - out_cls).max() / jnp.abs(out_cls).max())
+    assert rel < 5e-5, rel
+    mask = np.ones(out_c.shape, bool)
+    mask[(slice(None),) + tuple(slice(0, s) for s in space.shape)] = False
+    assert float(jnp.abs(jnp.where(mask, out_c, 0)).max()) == 0.0
 
 
 @pytest.mark.parametrize(
