@@ -20,6 +20,7 @@ Deviations from the reference, by design:
 
 from __future__ import annotations
 
+import os as _os
 from typing import Callable, NamedTuple
 
 import jax
@@ -40,6 +41,16 @@ from .chebyshev import chebyshev_apply, estimate_chebyshev_range
 SMOOTHER_DEGREE = 5  # reference preconditioner.h:222
 SMOOTHING_RANGE = 20.0  # reference preconditioner.h:221
 EIG_CG_ITERATIONS = 20  # reference preconditioner.h:223
+
+# fields above this size run the smoother loop as lax.fori_loop instead
+# of unrolling.  Effectively disabled: the fori gate dated from when
+# kernel tables were embedded as in-graph constants and refinement-8
+# programs blew the remote compiler's request cap — tables now ride as
+# jit arguments, and the fori carry boundaries measured ~11 ms per
+# smooth at r8 (XLA copies the three field carries every iteration),
+# 355.9 -> 253.0 ms/step end-to-end when unrolled (scripts/unroll_ab.py,
+# BASELINE round 4).  SPIRK_UNROLL_LIMIT overrides (elements).
+_UNROLL_LIMIT = int(_os.environ.get("SPIRK_UNROLL_LIMIT", 10**12))
 
 
 class GMGData(NamedTuple):
@@ -91,8 +102,6 @@ COARSE_SIZE_LIMIT = 1024
 # *slower* on v5e at 127^3 (the inflated z extents and halo scrubs cost
 # more than the pads they remove), so off by default; flip via env for
 # future experiments on hardware with different relayout costs.
-import os as _os
-
 PADDED_VCYCLE = _os.environ.get("SPIRK_PADDED_VCYCLE", "0") == "1"
 
 # Fused Chebyshev smoothing on the standard-layout V-cycle: each smoother
@@ -432,7 +441,7 @@ def _chebyshev_padded(
         return rr, d, x, rho_new
 
     state = (rr, d, x, rho)
-    if r_pad.size <= 16_000_000:  # see _chebyshev_canon
+    if r_pad.size <= _UNROLL_LIMIT:  # see _chebyshev_canon
         for k in range(degree - 1):
             state = body(k, state)
     else:
@@ -536,7 +545,7 @@ def _chebyshev_canon(
     n_it = degree - 1
     use_pair = pair_tables is not None and diag_tables is not None
     n_pair, n_single = divmod(n_it, 2) if use_pair else (0, n_it)
-    if r_c.size <= 16_000_000:
+    if r_c.size <= _UNROLL_LIMIT:
         for k in range(n_pair):
             state = body2(k, state)
         for k in range(n_single):
