@@ -653,7 +653,8 @@ def _make_kernel_ms_3d_yb(p: int):
 
 
 def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
-                    canon: bool = False, y_mxu: bool = False):
+                    canon: bool = False, y_mxu: bool = False,
+                    residual: bool = False):
     """``z_off``: element offset of the data region on the slab axis minus
     p (0 for the classic layout with a p-ghost, bz for the halo-block
     padded layout used inside the V-cycle).  With ``x_roll`` the x
@@ -662,11 +663,17 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
     canonical layout — clamped DMA windows (``_slab_dma_canon``) paired
     with the shift-baked z table (``_band_table_z_canon``).  ``y_mxu``:
     the y contraction runs on the MXU (``_y_stage_mxu``; ``yb_ref`` then
-    holds the dense ``_band_table_y_mxu`` table)."""
+    holds the dense ``_band_table_y_mxu`` table).  ``residual``: the
+    kernel takes an extra blocked input r and writes r - A u (the
+    V-cycle's restriction residual in one HBM round trip)."""
     nb = 2 * p + 1
 
-    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2,
-               sem):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, *rest):
+        if residual:
+            r_ref, out_ref, scratch2, sem = rest
+        else:
+            (out_ref, scratch2, sem) = rest
+            r_ref = None
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         bz = out_ref.shape[1]
@@ -714,13 +721,13 @@ def _make_kernel_3d(p: int, z_off: int = 0, x_roll: bool = False,
                 ws = xmat_ref[nb + k].reshape(1, 1, -1)
                 t = wm * rc + ws * rd
                 out = t if out is None else out + t
-            out_ref[0] = out
         elif y_mxu:
-            out_ref[0] = _x_dot(CD, xmat_ref[:], p)
+            out = _x_dot(CD, xmat_ref[:], p)
         else:
-            out_ref[0] = _x_dot(
+            out = _x_dot(
                 jnp.concatenate([C, D], axis=-1), xmat_ref[:]
             , p)
+        out_ref[0] = r_ref[0] - out if residual else out
 
     return kernel
 
@@ -1465,15 +1472,21 @@ def _yslice(E, k: int, p: int, by: int):
     return _roll(E, -(8 - p + k), 1)[:, :by, :]
 
 
-def _make_kernel_3d_canon_yb(p: int):
+def _make_kernel_3d_canon_yb(p: int, residual: bool = False):
     """Canonical y-blocked fused apply — zero-halo layout in AND out.
     Same mathematics as ``_make_kernel_3d_yb``; windowing differs (see
     ``_slab_dma_canon_yb``).  The x dot follows the ``_bf16_ok`` degree
     gate (bf16x3 at p=1 by default — this is the r8 production kernel —
-    HIGHEST otherwise)."""
+    HIGHEST otherwise).  ``residual``: extra blocked input r; the kernel
+    writes r - A u."""
     nb = 2 * p + 1
 
-    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, out_ref, scratch2, sem):
+    def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, *rest):
+        if residual:
+            r_ref, out_ref, scratch2, sem = rest
+        else:
+            (out_ref, scratch2, sem) = rest
+            r_ref = None
         iq = pl.program_id(0)
         iz = pl.program_id(1)
         iy = pl.program_id(2)
@@ -1505,9 +1518,8 @@ def _make_kernel_3d_canon_yb(p: int):
             d_term = wm * sF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        out_ref[0] = _x_dot(
-            jnp.concatenate([C, D], axis=-1), xmat_ref[:]
-        , p)
+        out = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+        out_ref[0] = r_ref[0] - out if residual else out
 
     return kernel
 
@@ -1661,18 +1673,24 @@ def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool,
     jax.jit,
     static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
 )
-def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
-                       by=0, y_mxu=False):
+def _fused_apply_canon(w, zb, yb, xmat, u_c, r_c=None, *, p, dim, interpret,
+                       x_roll, by=0, y_mxu=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
+    residual = r_c is not None
+    assert not residual or dim == 3, "residual epilogue is 3-D only"
     with _scoped_x64(False):
         q = u_c.shape[0]
         nx_p = u_c.shape[-1]
+        extra = [u_c, r_c] if residual else [u_c]
         if dim == 3 and by:
             nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
+            spec = pl.BlockSpec(
+                (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
+            )
             return pl.pallas_call(
-                _make_kernel_3d_canon_yb(p),
+                _make_kernel_3d_canon_yb(p, residual=residual),
                 grid=(q, nzp // bz, ny_p // by),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1680,20 +1698,21 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, bz, by, nx_p),
-                    lambda iq, iz, iy: _i32(iq, iz, iy, 0),
-                ),
+                ] + ([spec] if residual else []),
+                out_specs=spec,
                 out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
                 scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
                 interpret=interpret,
-            )(w, zb, yb, xmat, u_c)
+            )(w, zb, yb, xmat, *extra)
         if dim == 3:
             nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
+            spec = pl.BlockSpec(
+                (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
+            )
             return pl.pallas_call(
-                _make_kernel_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu),
+                _make_kernel_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu,
+                                residual=residual),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1701,14 +1720,12 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.ANY),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
-                ),
+                ] + ([spec] if residual else []),
+                out_specs=spec,
                 out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
                 scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
-            )(w, zb, yb, xmat, u_c)
+            )(w, zb, yb, xmat, *extra)
         ny_p = u_c.shape[1]
         spec = pl.BlockSpec((1, ny_p, nx_p), lambda iq: _i32(iq, 0, 0))
         return pl.pallas_call(
@@ -2112,10 +2129,14 @@ def _fused_cheb2_canon(
 
 def fused_stencil_apply_canon(
     ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False,
-    force_yb: int = 0, tables=None,
+    force_yb: int = 0, tables=None, sub_from=None,
 ):
     """(a M + b K) on a canonical-layout stage block — ONE HBM round trip,
-    pads in == zero implies pads out == zero (no scrubs)."""
+    pads in == zero implies pads out == zero (no scrubs).
+
+    ``sub_from`` (3-D only): return ``sub_from - (a M + b K) u`` with the
+    subtraction in the kernel epilogue — the V-cycle's restriction
+    residual pays 3 HBM passes instead of apply + XLA subtract (5)."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = u_c.shape[0]
@@ -2131,10 +2152,16 @@ def fused_stencil_apply_canon(
         if tables is not None
         else _tables_canon(ops, u_c.shape, p, dim, x_roll, y_mxu)
     )
-    return _fused_apply_canon(
+    if sub_from is not None and dim != 2:
+        return _fused_apply_canon(
+            w, zb, yb, xmat, u_c, sub_from, p=p, dim=dim,
+            interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
+        )
+    out = _fused_apply_canon(
         w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
         x_roll=x_roll, by=by, y_mxu=y_mxu,
     )
+    return out if sub_from is None else sub_from - out
 
 
 @functools.partial(

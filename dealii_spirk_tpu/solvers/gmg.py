@@ -498,19 +498,22 @@ def _chebyshev_canon(
     else:
         apply_invd = lambda t: invd_c * t
 
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    # the post-smooth entry (x0 given) stays apply + XLA subtract + XLA
+    # init: the one-invocation alternative — fused_cheb_iter_canon with
+    # (d, x) := x0 and (c1, c2) = (0, 1/theta) computes the same step —
+    # measured SLOWER at r8 (3.56 vs 3.35 ms, scripts/vcycle_decomp.py):
+    # XLA's elementwise glue runs at the HBM roof here
     if x0_c is None:
         rr = r_c
-        x = jnp.zeros_like(r_c)
     else:
         rr = r_c - st.fused_stencil_apply_canon(
             ops, a, b, x0_c, dim, interpret=interpret, tables=tables
         )
-        x = x0_c
     z = apply_invd(rr)
     d = z / ex(theta)
-    x = x + d
-    sigma = theta / delta
-    rho = 1.0 / sigma
+    x = d if x0_c is None else x0_c + d
 
     def body(_k, state):
         rr, d, x, rho = state
@@ -671,6 +674,10 @@ def vcycle_canon(
 
     def residual(l, rl_c, x_c):
         if _canon_ok(l):
+            # apply + XLA subtract, NOT the kernel-epilogue sub_from
+            # variant: measured 1.34 vs 2.35 ms at r8 — XLA's subtract
+            # runs at roof while the extra blocked input degrades the
+            # kernel's DMA schedule (BASELINE round 4)
             return rl_c - _A_canon(l)(x_c)
         sp = spatials[l]
         rl = st.unpad_canon(rl_c, sp, dim)

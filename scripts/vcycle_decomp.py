@@ -123,12 +123,65 @@ def main():
 
     def resid(state, tb):
         r, x = state
+        res = st.fused_stencil_apply_canon(
+            ops, shifts, tau, x, dim, tables=tb, sub_from=r
+        )
+        return res, x
+
+    t_res = row("resid", resid, ((r0, x0), tabs))
+
+    def resid_old(state, tb):
+        # pre-epilogue formulation: fused apply + XLA subtract (5 passes)
+        r, x = state
         res = r - st.fused_stencil_apply_canon(
             ops, shifts, tau, x, dim, tables=tb
         )
         return res, x
 
-    t_res = row("resid", resid, ((r0, x0), tabs))
+    row("resid_old", resid_old, ((r0, x0), tabs))
+
+    def post_old(state, tb, dg_, iv):
+        # pre-fusion post-smooth ENTRY: apply + XLA subtract + XLA init
+        # (the body iterations are identical either way, so the entry
+        # delta is the whole old-vs-new difference)
+        r, x = state
+        rr = r - st.fused_stencil_apply_canon(
+            ops, shifts, tau, x, dim, tables=tb
+        )
+        if dg_ is not None:
+            dgz, dgy, dgx = dg_
+            zmym = (
+                dgz[:, 0][None, :, None, None]
+                * dgy[:, 0][None, None, :, None]
+            )
+            zkym_zmyk = (
+                dgz[:, 1][None, :, None, None]
+                * dgy[:, 0][None, None, :, None]
+                + dgz[:, 0][None, :, None, None]
+                * dgy[:, 1][None, None, :, None]
+            )
+            aq = shifts[:, None, None, None]
+            diag = (aq * zmym + tau * zkym_zmyk) * dgx[0] + (
+                tau * zmym
+            ) * dgx[1]
+            z = rr / diag
+        else:
+            z = iv * rr
+        d = z / theta[:, None, None, None]
+        xn = x + d
+        return r, xn
+
+    row("post_entry_old", post_old, ((r0, x0), tabs, dg, invd))
+
+    def post_entry(state, tb, dg_, iv):
+        r, x = state
+        _rr, _d, xn = st.fused_cheb_iter_canon(
+            ops, shifts, tau, 0.0, 1.0 / theta, x, r, x, iv, dim,
+            tables=tb, diag_tables=dg_,
+        )
+        return r, xn
+
+    row("post_entry", post_entry, ((r0, x0), tabs, dg, invd))
     t_tr = row(
         "transfer",
         lambda x: x + _axes(mats_P, _axes(mats_R, x)),

@@ -355,6 +355,40 @@ def test_canon_apply_matches_and_pads_zero():
         assert float(jnp.abs(jnp.where(mask, gk, 0)).max()) == 0.0
 
 
+@pytest.mark.parametrize("p,ref,force_yb", [(1, 4, 0), (1, 4, 8), (2, 3, 8)])
+def test_canon_apply_residual_epilogue(p, ref, force_yb):
+    """``fused_stencil_apply_canon(..., sub_from=r)`` must equal
+    r - (aM + bK) u with pads exactly zero, on both the whole-plane and
+    y-blocked kernels (the V-cycle restriction residual,
+    reference preconditioner.h:219-501 / gmg.cc V-cycle)."""
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim = 3
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(3)
+    q = 2
+    mk = lambda: jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    u, r = mk(), mk()
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b = 0.21
+    pc = lambda t: st.pad_canon(t, sp, p, dim)
+    got = st.fused_stencil_apply_canon(
+        ops, a, b, pc(u), dim, interpret=True, force_yb=force_yb,
+        sub_from=pc(r),
+    )
+    want = r - apply_shifted_batched(ops, a, b, u, dim, "stencil")
+    np.testing.assert_allclose(
+        st.unpad_canon(got, sp, dim), want,
+        atol=float(2e-5 * np.abs(want).max() + 1e-6),
+    )
+    mask = np.ones(got.shape, bool)
+    mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+    assert float(jnp.abs(jnp.where(mask, got, 0)).max()) == 0.0
+
+
 def test_canon_cheb_iter_matches_elementwise():
     from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
     from dealii_spirk_tpu.ops.pallas import stencil as st
