@@ -32,6 +32,8 @@ TPU realization of the three reference execution strategies:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -173,8 +175,10 @@ class IRK(SchemeBase):
 
         # shared-computation mode only where the program would otherwise
         # exceed the remote compiler's cap: the pjit call boundaries cost
-        # ~5 ms/step at refinement 7 (blocked fusion at the Mop edges)
-        share_ops = compact
+        # ~5 ms/step at refinement 7 (blocked fusion at the Mop edges).
+        # SPIRK_SHARE_OPS=0/1 overrides the size heuristic (perf A/B).
+        _so_env = os.environ.get("SPIRK_SHARE_OPS", "")
+        share_ops = compact if _so_env == "" else _so_env == "1"
 
         def solve_fn(W_rhs, prec, tau):
             if use_canon:

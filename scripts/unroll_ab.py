@@ -28,6 +28,9 @@ def main():
 
     print(f"device: {jax.devices()[0]}  ({scheme}, refinement {refinement})")
 
+    # unrolled is the DEFAULT since round 4 — force the fori variant
+    # explicitly for the A side
+    gmg_mod._UNROLL_LIMIT = 0
     t_fori, n_fori, _ = _time_scheme(scheme, refinement)
     print(f"fori     smoother loop: {t_fori * 1e3:8.2f} ms/step "
           f"({n_fori} outer)")

@@ -198,13 +198,14 @@ def main():
     t_c1 = row("cheb1", cheb1, ((r0, x0, mk()), tabs, dg, invd))
 
     # fori-vs-unrolled A/B of the same pre-smooth: isolates the loop
-    # carry-boundary cost that gated unrolling below _UNROLL_LIMIT
+    # carry-boundary cost (unrolled is the default since round 4; this
+    # row re-measures the old lax.fori_loop variant)
     import dealii_spirk_tpu.solvers.gmg as gmg_mod
 
     saved = gmg_mod._UNROLL_LIMIT
-    gmg_mod._UNROLL_LIMIT = 10**12
-    t_preu = row(
-        "pre_unrl",
+    gmg_mod._UNROLL_LIMIT = 0
+    t_pref = row(
+        "pre_fori",
         lambda r, tb, dg_, iv: _chebyshev_canon(
             ops, shifts, tau, iv, theta, delta, r, dim,
             tables=tb, diag_tables=dg_,
@@ -225,7 +226,7 @@ def main():
         f"XLA glue in pre+post (minus iters):         "
         f"{t_pre + t_post - 2 * n_it * t_c1:8.3f} ms"
     )
-    print(f"fori carry cost per pre-smooth:             {t_pre - t_preu:8.3f} ms")
+    print(f"fori carry cost per pre-smooth:             {t_pref - t_pre:8.3f} ms")
 
 
 if __name__ == "__main__":
