@@ -11,6 +11,7 @@ boundary rows, so no masking is needed.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def _wshape(ndim: int, axis: int, m: int) -> tuple[int, ...]:
@@ -35,7 +36,15 @@ def apply_band(band, u, axis: int):
 
 
 def apply_dense_1d(mat, u, axis: int):
-    """Apply a dense 1D operator ``mat`` (n_out, n_in) along ``axis``."""
-    u_moved = jnp.moveaxis(u, axis, -1)
-    out = jnp.matmul(u_moved, mat.T, precision="highest")
-    return jnp.moveaxis(out, -1, axis)
+    """Apply a dense 1D operator ``mat`` (n_out, n_in) along ``axis``.
+
+    Contracts the axis in place with ``dot_general`` rather than
+    moveaxis + matmul: at refinement-8 V-cycle transfer shapes the
+    direct contraction measured 2.48 vs 3.27 ms per restrict+prolong
+    round trip (`scripts/transfer_r8.py`) — XLA materializes the
+    moveaxis as a layout copy on the 256 MB fields."""
+    axis = axis % u.ndim
+    out = lax.dot_general(
+        mat, u, (((1,), (axis,)), ((), ())), precision="highest"
+    )
+    return jnp.moveaxis(out, 0, axis)

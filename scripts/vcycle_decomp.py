@@ -122,23 +122,26 @@ def main():
     t_post = row("post", post, ((r0, x0), tabs, dg, invd))
 
     def resid(state, tb):
-        r, x = state
-        res = st.fused_stencil_apply_canon(
-            ops, shifts, tau, x, dim, tables=tb, sub_from=r
-        )
-        return res, x
-
-    t_res = row("resid", resid, ((r0, x0), tabs))
-
-    def resid_old(state, tb):
-        # pre-epilogue formulation: fused apply + XLA subtract (5 passes)
+        # production formulation: fused apply + XLA subtract (5 passes)
         r, x = state
         res = r - st.fused_stencil_apply_canon(
             ops, shifts, tau, x, dim, tables=tb
         )
         return res, x
 
-    row("resid_old", resid_old, ((r0, x0), tabs))
+    t_res = row("resid", resid, ((r0, x0), tabs))
+
+    def resid_subfrom(state, tb):
+        # kernel-epilogue variant — recorded NEGATIVE (BASELINE round 4:
+        # 2.35 vs 1.34 ms; the extra blocked input degrades the DMA
+        # schedule more than the saved pass gains)
+        r, x = state
+        res = st.fused_stencil_apply_canon(
+            ops, shifts, tau, x, dim, tables=tb, sub_from=r
+        )
+        return res, x
+
+    row("resid_subfrom", resid_subfrom, ((r0, x0), tabs))
 
     def post_old(state, tb, dg_, iv):
         # pre-fusion post-smooth ENTRY: apply + XLA subtract + XLA init
