@@ -2525,8 +2525,13 @@ def _make_kernel_stage_mix(q_out: int, q_in: int):
 def _mix_rows_block(n_rows: int, nx_p: int, q_out: int, q_in: int) -> int:
     """Row-block size for ``stage_mix_canon``: the largest multiple-of-8
     divisor of ``n_rows`` whose pipelined in+out blocks (2 buffers each
-    side) fit a ~6 MB budget; 0 when none does."""
-    budget = 6 * 2**20
+    side) fit the budget; 0 when none does.  At huge fields (> 100 MB)
+    the budget drops to 2 MB — the r8 block sweep
+    (`scripts/mix_br_sweep.py`) measured 429 GB/s at the 2 MB footprint
+    vs 341-352 at 4-8 MB; small fields keep 6 MB (r7 mixes are ~0.03 ms
+    at any block size)."""
+    huge = q_in * n_rows * nx_p * 4 > 100 * 2**20
+    budget = (2 if huge else 6) * 2**20
     best = 0
     for br in range(8, n_rows + 1, 8):
         if n_rows % br:
