@@ -163,12 +163,18 @@ class SchemeBase:
         t_ps = timed(lambda w: self.prec_solver_piece(w, prec, tau_), W)
 
         steps = max(n_steps, 1)
-        # per solve: ~n_outer/steps system vmults and preconditioner
-        # applications (+1 initial residual, +1 restart-boundary recompute)
-        per_solve = self.n_outer / steps + 2.0
-        self.timers.seconds["system_vmult"] = t_vmult * per_solve * steps
-        self.timers.seconds["preconditioner_bc"] = t_bc * per_solve * steps
-        self.timers.seconds["preconditioner_solver"] = t_ps * per_solve * steps
+        # exact structural counts of the left-preconditioned GMRES cycle
+        # (solvers/krylov.py): with x0 = 0 the system vmult runs once per
+        # outer iteration, the preconditioner once per iteration plus the
+        # initial M(b) residual; a restart boundary would add one of each
+        # but production solves converge inside the first cycle (the
+        # escalation guard in schemes/irk.py warns loudly if not)
+        n_out = self.n_outer / steps
+        self.timers.seconds["system_vmult"] = t_vmult * n_out * steps
+        self.timers.seconds["preconditioner_bc"] = t_bc * (n_out + 1) * steps
+        self.timers.seconds["preconditioner_solver"] = (
+            t_ps * (n_out + 1) * steps
+        )
 
 
 def stage_times_factor(c_vec, t, tau, dim):

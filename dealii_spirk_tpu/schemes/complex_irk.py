@@ -324,12 +324,16 @@ class ComplexIRK(SchemeBase):
         t_ps = timed(lambda w: self._cpx_solver(w, prec, tau_), Wp)
 
         steps = max(n_steps, 1)
-        per_solve = self.n_outer / steps / max(n2, 1) + 2.0
-        self.timers.seconds["system_vmult"] = t_vmult * per_solve * steps
+        # exact structural counts of the per-pair left-preconditioned
+        # GMRES (see schemes/base.py): the batched pair vmult runs once
+        # per (average) pair iteration, the preconditioner once per
+        # iteration plus the initial M(b) residual
+        n_pair = self.n_outer / steps / max(n2, 1)
+        self.timers.seconds["system_vmult"] = t_vmult * n_pair * steps
         self.timers.seconds["preconditioner_bc"] = t_bc * steps
         # PRESB performs two shifted solves per application
         self.timers.seconds["preconditioner_solver"] = (
-            t_ps * 2.0 * per_solve * steps
+            t_ps * 2.0 * (n_pair + 1.0) * steps
         )
 
     def solve_step(self, u, timestep_number, t, tau):
