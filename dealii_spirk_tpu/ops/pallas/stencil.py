@@ -264,6 +264,16 @@ _YMXU = _os.environ.get("SPIRK_YMXU", "0") == "1"
 # Default off: measured slower on v5e (see ``cheb2_supported``).
 _CHEB_PAIR = _os.environ.get("SPIRK_CHEB_PAIR", "0") == "1"
 
+# bf16 STORAGE for the fused Chebyshev iteration state (r, d): the
+# smoother iteration is HBM-bound at the y-blocked canonical sizes
+# (84% of roof at refinement 8), and r/d are pure smoother-internal
+# state — storing them bf16 halves 4 of the iteration's 6 HBM passes
+# (x, the V-cycle output the outer Krylov reads, stays f32; all
+# arithmetic stays f32 in VMEM).  ROUND2_NOTES parked this as
+# "plausible but changes preconditioner quality" — the oracle is
+# unchanged outer/inner iteration counts.  y-blocked kernels only.
+_CHEB_BF16 = _os.environ.get("SPIRK_CHEB_BF16", "0") == "1"
+
 # Force interpret-mode execution of every public kernel entry point
 # (CPU testing of the full pallas-mode solve paths, incl. schemes)
 _INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
@@ -1458,9 +1468,10 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     return scratch.at[slot]
 
 
-def _slab_scratch_canon_yb(bz: int, p: int, by: int, nx_p: int):
+def _slab_scratch_canon_yb(bz: int, p: int, by: int, nx_p: int,
+                           dtype=jnp.float32):
     return [
-        pltpu.VMEM((2, bz + 2 * p, by + 16, nx_p), jnp.float32),
+        pltpu.VMEM((2, bz + 2 * p, by + 16, nx_p), dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
@@ -1581,6 +1592,9 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
         bz = r_out.shape[1]
         by = r_out.shape[2]
         scratch = _slab_dma_canon_yb(d_hbm, scratch2, sem, p, bz, by)
+        # bf16-STORAGE state (``_CHEB_BF16``): d/r ride HBM in bf16; all
+        # arithmetic is f32 in VMEM (astype is a no-op when already f32)
+        f32 = jnp.float32
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         c1 = w_ref[iq, 2]
@@ -1590,7 +1604,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
         Zm = None
         Zk = None
         for k in range(nb):
-            plane = scratch[k : k + bz]
+            plane = scratch[k : k + bz].astype(f32)
             wm = zb[:, k].reshape(bz, 1, 1)
             ws = zb[:, nb + k].reshape(bz, 1, 1)
             Zm = wm * plane if Zm is None else Zm + wm * plane
@@ -1611,7 +1625,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
         Ad = _x_dot(
             jnp.concatenate([C, D], axis=-1), xmat_ref[:]
         , p)
-        r_new = r_ref[0] - Ad
+        r_new = r_ref[0].astype(f32) - Ad
         if diag:
             dgz = dgz_ref[pl.ds(iz * bz, bz)]
             dgy = dgy_ref[pl.ds(iy * by, by)]
@@ -1625,11 +1639,13 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
         else:
             z = invd_ref[0] * r_new
         # value-level y slice (offset 8 is sublane-aligned); a 2-D Ref
-        # slice here failed Mosaic's tile-divisibility prover on v5e
-        dblk = scratch[p : p + bz][:, 8 : 8 + by, :]
+        # slice here failed Mosaic's tile-divisibility prover on v5e.
+        # astype BEFORE the slice: on bf16 state the f32 copy restores
+        # the (8, 128)-tiled layout the offset-8 slice is proven for
+        dblk = scratch[p : p + bz].astype(f32)[:, 8 : 8 + by, :]
         d_new = c1 * dblk + c2 * z
-        r_out[0] = r_new
-        d_out[0] = d_new
+        r_out[0] = r_new.astype(r_out.dtype)
+        d_out[0] = d_new.astype(d_out.dtype)
         x_out[0] = x_ref[0] + d_new
 
     return kernel
@@ -2309,9 +2325,14 @@ def _fused_cheb_canon_dg(
     with _scoped_x64(False):
         q, nzp, ny_p, nx_p = d_c.shape
         bz = _BZ
+        assert r_c.dtype == d_c.dtype, "cheb state (r, d) dtypes must match"
         shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
         small = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         if by:
+            # r/d outputs keep the state dtype (bf16 under _CHEB_BF16);
+            # x keeps its own (f32 — the V-cycle output)
+            shape_s = jax.ShapeDtypeStruct(d_c.shape, d_c.dtype)
+            shape_x = jax.ShapeDtypeStruct(x_c.shape, x_c.dtype)
             blocked = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
@@ -2326,10 +2347,16 @@ def _fused_cheb_canon_dg(
                     blocked,
                 ],
                 out_specs=(blocked, blocked, blocked),
-                out_shape=(shape, shape, shape),
-                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                out_shape=(shape_s, shape_s, shape_x),
+                scratch_shapes=_slab_scratch_canon_yb(
+                    bz, p, by, nx_p, dtype=d_c.dtype
+                ),
                 interpret=interpret,
             )(w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c)
+        assert d_c.dtype == jnp.float32, (
+            "bf16 cheb state is y-blocked-only (whole-plane kernels are "
+            "compute-bound; see _CHEB_BF16)"
+        )
         blocked = pl.BlockSpec(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
@@ -2364,8 +2391,12 @@ def _fused_cheb_canon(
     with _scoped_x64(False):
         q, nzp, ny_p, nx_p = d_c.shape
         bz = _BZ
+        assert r_c.dtype == d_c.dtype, "cheb state (r, d) dtypes must match"
         shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
         if by:
+            # see _fused_cheb_canon_dg: bf16 state rides the y-blocked path
+            shape_s = jax.ShapeDtypeStruct(d_c.shape, d_c.dtype)
+            shape_x = jax.ShapeDtypeStruct(x_c.shape, x_c.dtype)
             blocked = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
@@ -2383,10 +2414,16 @@ def _fused_cheb_canon(
                     blocked,
                 ],
                 out_specs=(blocked, blocked, blocked),
-                out_shape=(shape, shape, shape),
-                scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
+                out_shape=(shape_s, shape_s, shape_x),
+                scratch_shapes=_slab_scratch_canon_yb(
+                    bz, p, by, nx_p, dtype=d_c.dtype
+                ),
                 interpret=interpret,
             )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
+        assert d_c.dtype == jnp.float32, (
+            "bf16 cheb state is y-blocked-only (whole-plane kernels are "
+            "compute-bound; see _CHEB_BF16)"
+        )
         blocked = pl.BlockSpec(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )

@@ -514,6 +514,20 @@ def _chebyshev_canon(
     z = apply_invd(rr)
     d = z / ex(theta)
     x = d if x0_c is None else x0_c + d
+    # bf16 STORAGE for the iteration state (r, d) under SPIRK_CHEB_BF16:
+    # the y-blocked iteration kernel is HBM-bound, x (the output the
+    # Krylov solver reads) stays f32, arithmetic stays f32 in VMEM.  The
+    # casts fuse into the XLA init chain above (no extra pass).
+    p = (ops.mass_band.shape[0] - 1) // 2
+    use_bf16 = (
+        st._CHEB_BF16
+        and dim == 3
+        and r_c.dtype == jnp.float32
+        and st._canon_by(r_c, p, dim, kind="cheb") > 0
+    )
+    if use_bf16:
+        rr = rr.astype(jnp.bfloat16)
+        d = d.astype(jnp.bfloat16)
 
     def body(_k, state):
         rr, d, x, rho = state
@@ -546,7 +560,9 @@ def _chebyshev_canon(
     # compiler's request cap
     state = (rr, d, x, rho)
     n_it = degree - 1
-    use_pair = pair_tables is not None and diag_tables is not None
+    use_pair = (
+        pair_tables is not None and diag_tables is not None and not use_bf16
+    )
     n_pair, n_single = divmod(n_it, 2) if use_pair else (0, n_it)
     if r_c.size <= _UNROLL_LIMIT:
         for k in range(n_pair):

@@ -461,6 +461,96 @@ def test_canon_cheb_diag_tables_match_invd(p, ref, force_yb):
         assert float(jnp.abs(jnp.where(mask, g, 0)).max()) == 0.0
 
 
+@pytest.mark.parametrize("diag", [False, True])
+def test_canon_cheb_bf16_state_yblocked(diag):
+    """SPIRK_CHEB_BF16 (bf16 STORAGE for the smoother state r/d on the
+    y-blocked kernels): outputs must match the f32 iteration to bf16
+    rounding, r/d come back bf16 while x stays f32, and pads stay
+    exactly zero through the cast chain (zero is exact in bf16)."""
+    from dealii_spirk_tpu.ops.mass_laplace import operator_diagonal
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim, p, ref = 3, 1, 4
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(11)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    mk = lambda: pc(jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32))
+    d0, r0, x0 = mk(), mk(), mk()
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b, c1, c2 = jnp.float32(0.21), 0.7, 0.4
+    if diag:
+        invd_c, dg = None, st.cheb_diag_tables(ops, sp, p, dim)
+    else:
+        invd_c = pc(
+            jax.vmap(lambda ai: 1.0 / operator_diagonal(ops, ai, b, dim))(a)
+        )
+        dg = None
+    want = st.fused_cheb_iter_canon(
+        ops, a, b, c1, c2, d0, r0, x0, invd_c, dim, interpret=True,
+        force_yb=8, diag_tables=dg,
+    )
+    got = st.fused_cheb_iter_canon(
+        ops, a, b, c1, c2, d0.astype(jnp.bfloat16), r0.astype(jnp.bfloat16),
+        x0, invd_c, dim, interpret=True, force_yb=8, diag_tables=dg,
+    )
+    assert got[0].dtype == jnp.bfloat16  # r
+    assert got[1].dtype == jnp.bfloat16  # d
+    assert got[2].dtype == jnp.float32  # x
+    for g, w in zip(got, want):
+        g32 = np.asarray(g, np.float32)
+        w32 = np.asarray(w, np.float32)
+        # bf16 has an 8-bit mantissa: inputs AND outputs carry ~2^-9
+        # relative rounding, amplified through the A d stencil sum
+        tol = 0.05 * float(np.abs(w32).max())
+        np.testing.assert_allclose(g32, w32, atol=tol)
+        mask = np.ones(g32.shape, bool)
+        mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+        assert float(np.abs(np.where(mask, g32, 0)).max()) == 0.0
+
+
+def test_chebyshev_canon_bf16_gate(monkeypatch):
+    """The gmg-side SPIRK_CHEB_BF16 gate: with the flag on and a
+    y-blocked size, `_chebyshev_canon` runs the whole degree-5 smooth
+    with bf16 r/d state and returns an f32 x close to the f32 smooth
+    (small shapes are whole-plane, so the y-block decision is forced)."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+    from dealii_spirk_tpu.solvers import gmg as gmg_mod
+
+    dim, p, ref = 3, 1, 4
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(13)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    r_c = pc(jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32))
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b = jnp.float32(0.21)
+    theta = jnp.asarray([1.1, 1.2], jnp.float32)
+    delta = jnp.asarray([0.9, 1.0], jnp.float32)
+    dg = st.cheb_diag_tables(ops, sp, p, dim)
+    kw = dict(interpret=True, diag_tables=dg)
+    want = gmg_mod._chebyshev_canon(
+        ops, a, b, None, theta, delta, r_c, dim, **kw
+    )
+    monkeypatch.setattr(st, "_CHEB_BF16", True)
+    monkeypatch.setattr(
+        st, "_canon_by", lambda u_c, p_, dim_, kind="apply": 8
+    )
+    got = gmg_mod._chebyshev_canon(
+        ops, a, b, None, theta, delta, r_c, dim, **kw
+    )
+    assert got.dtype == jnp.float32
+    tol = 0.05 * float(np.abs(np.asarray(want)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol)
+    mask = np.ones(got.shape, bool)
+    mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+    assert float(np.abs(np.where(mask, np.asarray(got), 0)).max()) == 0.0
+
+
 @pytest.mark.parametrize("p,ref", [(1, 4), (2, 3)])
 def test_canon_cheb_pair_matches_chained(p, ref):
     """The paired Chebyshev kernel (``fused_cheb_pair_canon`` — TWO
