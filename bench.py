@@ -28,19 +28,30 @@ from __future__ import annotations
 
 import json
 import time
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 
-def _build(scheme_name: str, refinement: int, operator_mode: str = ""):
+class SolveCounts(NamedTuple):
+    """Iteration counts accumulated over ALL timed steps (not just the
+    final scan step): equal-count A/B oracles must see a shift on ANY
+    step, and in the masked per-lane inner counts too (ADVICE r4)."""
+
+    outer: int
+    inner: int
+
+
+def _build(scheme_name: str, refinement: int, operator_mode: str = "",
+           degree: int = 1):
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.problem import HeatProblem
     from dealii_spirk_tpu.schemes import make_scheme
 
     params = Parameters.from_dict(
         {
-            "FEDegree": 1,
+            "FEDegree": degree,
             "NRefinements": refinement,
             "TimeIntegrationScheme": scheme_name,
             "IRKStages": 4,
@@ -61,7 +72,8 @@ def _build(scheme_name: str, refinement: int, operator_mode: str = ""):
 
 
 def _time_scheme(
-    scheme_name: str, refinement: int, n_steps: int = 5, operator_mode: str = ""
+    scheme_name: str, refinement: int, n_steps: int = 5,
+    operator_mode: str = "", degree: int = 1,
 ):
     """Per-timestep device time via a TWO-POINT in-graph measurement.
 
@@ -75,7 +87,9 @@ def _time_scheme(
     (dispatch, transfer, sync quirks) and leaves pure per-step device
     time.
     """
-    params, problem, scheme = _build(scheme_name, refinement, operator_mode)
+    params, problem, scheme = _build(
+        scheme_name, refinement, operator_mode, degree
+    )
     tau = params.time_step_size
     prec = scheme._reinit(tau)
     jax.block_until_ready(prec)
@@ -89,17 +103,26 @@ def _time_scheme(
         @jax.jit
         def run(u, prec):
             def body(carry, k):
-                u, _ = carry
+                u, n_out, n_in = carry
                 t = (k.astype(dtype) + 2.0) * tau_
                 W_rhs = scheme.rhs_fn(u, t, tau_)
-                W, n_outer, _ = scheme.solve_fn(W_rhs, prec, tau_)
-                return (scheme.update_fn(u, W, tau_), n_outer), None
+                W, n_outer, n_inner = scheme.solve_fn(W_rhs, prec, tau_)
+                # accumulate across ALL steps (outer and the per-lane
+                # inner vector summed): the A/B count oracles compare
+                # these totals, so a shift on any step or lane triggers
+                n_out = n_out + jnp.asarray(n_outer, jnp.int32)
+                # dtype pinned: under x64 jnp.sum(int32) promotes to int64
+                # and breaks the scan carry contract
+                n_in = n_in + jnp.sum(n_inner, dtype=jnp.int32)
+                return (scheme.update_fn(u, W, tau_), n_out, n_in), None
 
-            carry0 = (u, jnp.zeros((), jnp.int32))
-            (u, n_outer), _ = jax.lax.scan(
+            carry0 = (
+                u, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+            )
+            (u, n_out, n_in), _ = jax.lax.scan(
                 body, carry0, jnp.arange(n, dtype=jnp.int32)
             )
-            return u, n_outer, jnp.sum(u * u)
+            return u, n_out, n_in, jnp.sum(u * u)
 
         return run
 
@@ -116,43 +139,46 @@ def _time_scheme(
 
     def timed(n):
         run = make_runner(n)
-        u, n_outer, chk = run(u0, prec)  # warmup/compile
+        u, n_out, n_in, chk = run(u0, prec)  # warmup/compile
         c = float(chk)
         if not (c > 0 and c < 1e30):
             raise RuntimeError(f"non-finite solution checksum {c}")
         t0 = time.perf_counter()
-        u, n_outer, chk = run(u0, prec)
+        u, n_out, n_in, chk = run(u0, prec)
         c = float(chk)  # 4-byte pull: forces true completion
-        return time.perf_counter() - t0, int(n_outer), u, n
+        counts = SolveCounts(int(n_out), int(n_in))
+        return time.perf_counter() - t0, counts, u, n
 
-    t_lo, n_outer, _u, _ = timed(n_lo)
-    t_hi, n_outer, u, n = timed(n_hi)
+    t_lo, counts, _u, _ = timed(n_lo)
+    t_hi, counts, u, n = timed(n_hi)
     elapsed = (t_hi - t_lo) / (n_hi - n_lo)
     err = problem.errors(u, (n + 1) * tau)
     if not float(err[0]) < 1e-2:
         raise RuntimeError(f"benchmark solution error off: L2={err[0]}")
-    return elapsed, int(n_outer), problem
+    return elapsed, counts, problem
 
 
 def main() -> None:
     import sys
 
     refinement = 7  # 127^3 interior DoFs per stage, q=4
-    t_native, n_outer, _problem = _time_scheme("irk_batched", refinement)
+    t_native, counts, _problem = _time_scheme("irk_batched", refinement)
     # baseline: identical mathematics, mechanical (non-TPU-first) execution
-    t_baseline, n_outer_b, _ = _time_scheme(
+    t_baseline, counts_b, _ = _time_scheme(
         "irk_batched", refinement, operator_mode="stencil"
     )
     print(
-        f"native: {t_native * 1e3:.1f} ms ({n_outer} outer); "
-        f"baseline: {t_baseline * 1e3:.1f} ms ({n_outer_b} outer)",
+        f"native: {t_native * 1e3:.1f} ms ({counts.outer} outer total); "
+        f"baseline: {t_baseline * 1e3:.1f} ms ({counts_b.outer} outer)",
         file=sys.stderr,
     )
-    if n_outer <= 0 or n_outer_b <= 0 or n_outer >= 1000 or n_outer_b >= 1000:
+    if min(counts.outer, counts_b.outer) <= 0 or max(
+        counts.outer, counts_b.outer
+    ) >= 1000:
         raise RuntimeError("benchmark solver did not converge properly")
-    if n_outer != n_outer_b:
+    if counts != counts_b:
         raise RuntimeError(
-            f"native ({n_outer}) and baseline ({n_outer_b}) outer counts "
+            f"native {counts} and baseline {counts_b} iteration counts "
             "differ — the speedup would not be like-for-like"
         )
 

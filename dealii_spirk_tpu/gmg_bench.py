@@ -123,10 +123,24 @@ def _bench_mode(
                 if prec.canon_tables is not None
                 else None
             )
-            A = lambda W: stc.fused_stencil_apply_canon(
-                fine, shifts, b, W, dim, tables=ft
+            # explicit-args nested jits, exactly the schemes' shared-
+            # computation discipline (schemes/irk.py raw_Aop/raw_Mop):
+            # pcg instantiates M at TWO structural sites (init + loop
+            # body), and two inlined copies of the refinement-8 V-cycle
+            # machinery pushed the program past the remote compiler's
+            # request cap — sharing one lowered computation fits it
+            # (VERDICT r4 #5; reference sweeps every mode at every
+            # refinement, gmg.cc:342)
+            raw_A = jax.jit(
+                lambda W, s_, ft_: stc.fused_stencil_apply_canon(
+                    fine, s_, b, W, dim, tables=ft_
+                )
             )
-            M = lambda r: vcycle_canon(gmg, prec, shifts, b, r, dim)
+            raw_M = jax.jit(
+                lambda r, pr_, s_: vcycle_canon(gmg, pr_, s_, b, r, dim)
+            )
+            A = lambda W: raw_A(W, shifts, ft)
+            M = lambda r: raw_M(r, prec, shifts)
         else:
             A = lambda W: constrain(
                 apply_shifted_batched(

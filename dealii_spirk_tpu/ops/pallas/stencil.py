@@ -1324,6 +1324,33 @@ def canon_supported(spatial, p: int, dim: int, cheb: bool = False) -> bool:
     return canon_yb_for(spatial, p, dim, cheb=cheb) >= 0
 
 
+def canon_shardable(spatial, p: int, dim: int, n_space: int) -> bool:
+    """True when the canonical-layout kernels can run space-sharded over
+    ``n_space`` devices: the canonical z extent splits evenly into
+    per-device slabs of whole z blocks (the halo'd kernels run one
+    uniform DMA window per block, so each shard needs >= one full bz
+    block), and the per-shard plane geometry fits the same kernel
+    variants as the unsharded layout (the by / x_roll decisions are
+    z-blind).  3-D only — the reference's spatial domain decomposition
+    (main.cc:3027; ghost exchange operator.h:379-421) maps to a p-plane
+    ppermute halo exchange per apply (``ops/pallas/sharded.py``)."""
+    if n_space == 1:
+        return canon_supported(spatial, p, dim)
+    if dim != 3 or not (1 <= p <= 4):
+        return False
+    nz_c = canon_shape(spatial, p, 3)[0]
+    if nz_c % n_space:
+        return False
+    nzl = nz_c // n_space
+    if nzl % _BZ or nzl < _BZ:
+        return False
+    # every kernel kind the sharded V-cycle dispatches must be feasible
+    return (
+        canon_yb_for(spatial, p, 3) >= 0
+        and canon_yb_for(spatial, p, 3, cheb=True) >= 0
+    )
+
+
 def pad_canon(u, spatial, p: int, dim: int):
     """(q, *spatial) -> canonical layout (pads zero)."""
     ps = canon_shape(spatial, p, dim)
@@ -1337,7 +1364,7 @@ def unpad_canon(u_c, spatial, dim: int):
     return u_c[(slice(None),) + tuple(slice(0, s) for s in spatial)]
 
 
-def _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn):
+def _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn, halo_z=False):
     """Enumerate the (z, y) DMA window cases of the canonical y-blocked
     layout and call ``fn(cond, zs, zn, zd, ys, yn, yd)`` for each:
     first/last blocks copy the in-bounds sub-window to the matching end
@@ -1345,15 +1372,24 @@ def _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn):
     that cannot occur are SKIPPED at trace time (their slice sizes may
     exceed the array when there are only first/last blocks).  Shared by
     the per-stage (``_slab_dma_canon_yb``) and all-stage
-    (``_slab_dma_canon_yb_allq``) DMA helpers."""
+    (``_slab_dma_canon_yb_allq``) DMA helpers.
+
+    ``halo_z``: the source carries p REAL halo planes at each z end (the
+    space-sharded layout — neighbor-shard planes materialized by a
+    ppermute exchange, ``ops/pallas/sharded.py``), so every z window is
+    the uniform haloed read ``[iz*bz, iz*bz + bz + 2p)`` and no z
+    boundary branches exist."""
     lastz = nz_s - 1
     lasty = ny_s - 1
     # (cond(iz), src_z_start, z_size, dst_z_off) — z_size/dst static
-    z_cases = [
-        (iz_ == 0, jnp.int32(0), bz + p, p),
-        (iz_ == lastz, lastz * bz - p, bz + p, 0),
-    ]
-    if nz_s > 2:
+    if halo_z:
+        z_cases = [(iz_ >= 0, iz_ * bz, bz + 2 * p, 0)]
+    else:
+        z_cases = [
+            (iz_ == 0, jnp.int32(0), bz + p, p),
+            (iz_ == lastz, lastz * bz - p, bz + p, 0),
+        ]
+    if not halo_z and nz_s > 2:
         z_cases.append(
             ((iz_ > 0) & (iz_ < lastz), iz_ * bz - p, bz + 2 * p, 0)
         )
@@ -1378,7 +1414,8 @@ def _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn):
             fn(zc & yc, zs, zn, zd, ys, yn, yd)
 
 
-def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
+def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int,
+                       halo_z: bool = False):
     """Double-buffered (z, y)-windowed DMA for the canonical y-blocked
     kernels (zero-halo layout, grid (q, z-blocks, y-blocks)).
 
@@ -1390,6 +1427,10 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     zero-filled in VMEM; their couplings exit the domain so the standard
     band tables weight them by zero anyway.  Data rows sit at scratch y
     offset 8 (kernels slice ``[8 - p + k : 8 - p + k + by]``).
+
+    ``halo_z``: the source carries p real halo planes at each z end (the
+    space-sharded layout, ``ops/pallas/sharded.py``): uniform z windows,
+    no z boundary branches, no z zero-fill.
     """
     iq = pl.program_id(0)
     iz = pl.program_id(1)
@@ -1398,14 +1439,14 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     # static block counts from the (static) operand shape — branches that
     # cannot occur must be SKIPPED at trace time (their slice sizes may
     # exceed the array when there are only first/last blocks)
-    nz_s = u_hbm.shape[1] // bz
+    nz_s = (u_hbm.shape[1] - (2 * p if halo_z else 0)) // bz
     ny_s = u_hbm.shape[2] // by
     g = (iq * nz_s + iz) * ny_s + iy
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
     def for_each_case(iz_, iy_, fn):
-        _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn)
+        _for_each_zy_case(iz_, iy_, nz_s, ny_s, p, bz, by, fn, halo_z=halo_z)
 
     def start_for(iq_, iz_, iy_, slot_):
         def issue(cond, zs, zn, zd, ys, yn, yd):
@@ -1449,13 +1490,14 @@ def _slab_dma_canon_yb(u_hbm, scratch, sem, p: int, bz: int, by: int):
     zeros_z = jnp.zeros((p, byw) + scratch.shape[3:], scratch.dtype)
     zeros_y = jnp.zeros((bz + 2 * p, 8) + scratch.shape[3:], scratch.dtype)
 
-    @pl.when(iz == 0)
-    def _():
-        scratch[slot, pl.ds(0, p)] = zeros_z
+    if not halo_z:
+        @pl.when(iz == 0)
+        def _():
+            scratch[slot, pl.ds(0, p)] = zeros_z
 
-    @pl.when(iz == nz_s - 1)
-    def _():
-        scratch[slot, pl.ds(bz + p, p)] = zeros_z
+        @pl.when(iz == nz_s - 1)
+        def _():
+            scratch[slot, pl.ds(bz + p, p)] = zeros_z
 
     @pl.when(iy == 0)
     def _():
@@ -1483,13 +1525,15 @@ def _yslice(E, k: int, p: int, by: int):
     return _roll(E, -(8 - p + k), 1)[:, :by, :]
 
 
-def _make_kernel_3d_canon_yb(p: int, residual: bool = False):
+def _make_kernel_3d_canon_yb(p: int, residual: bool = False,
+                             halo_z: bool = False):
     """Canonical y-blocked fused apply — zero-halo layout in AND out.
     Same mathematics as ``_make_kernel_3d_yb``; windowing differs (see
     ``_slab_dma_canon_yb``).  The x dot follows the ``_bf16_ok`` degree
     gate (bf16x3 at p=1 by default — this is the r8 production kernel —
     HIGHEST otherwise).  ``residual``: extra blocked input r; the kernel
-    writes r - A u."""
+    writes r - A u.  ``halo_z``: input carries p real z halo planes per
+    end (space-sharded layout)."""
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, u_hbm, *rest):
@@ -1503,7 +1547,8 @@ def _make_kernel_3d_canon_yb(p: int, residual: bool = False):
         iy = pl.program_id(2)
         bz = out_ref.shape[1]
         by = out_ref.shape[2]
-        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by)
+        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by,
+                                     halo_z=halo_z)
         a = w_ref[iq, 0]
         b = w_ref[iq, 1]
         zb = zb_ref[pl.ds(iz * bz, bz)]
@@ -1535,7 +1580,7 @@ def _make_kernel_3d_canon_yb(p: int, residual: bool = False):
     return kernel
 
 
-def _make_kernel_ms_3d_canon_yb(p: int):
+def _make_kernel_ms_3d_canon_yb(p: int, halo_z: bool = False):
     nb = 2 * p + 1
 
     def kernel(
@@ -1546,7 +1591,8 @@ def _make_kernel_ms_3d_canon_yb(p: int):
         bz = outm_ref.shape[1]
         by = outm_ref.shape[2]
         nx_p = outm_ref.shape[3]
-        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by)
+        scratch = _slab_dma_canon_yb(u_hbm, scratch2, sem, p, bz, by,
+                                     halo_z=halo_z)
         zb = zb_ref[pl.ds(iz * bz, bz)]
         yb = yb_ref[pl.ds(iy * by, by)]
         Zm = None
@@ -1576,7 +1622,8 @@ def _make_kernel_ms_3d_canon_yb(p: int):
     return kernel
 
 
-def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
+def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False,
+                                  halo_z: bool = False):
     nb = 2 * p + 1
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, *rest):
@@ -1591,7 +1638,8 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False):
         iy = pl.program_id(2)
         bz = r_out.shape[1]
         by = r_out.shape[2]
-        scratch = _slab_dma_canon_yb(d_hbm, scratch2, sem, p, bz, by)
+        scratch = _slab_dma_canon_yb(d_hbm, scratch2, sem, p, bz, by,
+                                     halo_z=halo_z)
         # bf16-STORAGE state (``_CHEB_BF16``): d/r ride HBM in bf16; all
         # arithmetic is f32 in VMEM (astype is a no-op when already f32)
         f32 = jnp.float32
@@ -1687,26 +1735,35 @@ def _tables_canon(ops: LevelOps, shape_c, p: int, dim: int, x_roll: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
+    static_argnames=(
+        "p", "dim", "interpret", "x_roll", "by", "y_mxu", "halo_z"
+    ),
 )
 def _fused_apply_canon(w, zb, yb, xmat, u_c, r_c=None, *, p, dim, interpret,
-                       x_roll, by=0, y_mxu=False):
+                       x_roll, by=0, y_mxu=False, halo_z=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
     residual = r_c is not None
     assert not residual or dim == 3, "residual epilogue is 3-D only"
+    assert not halo_z or dim == 3, "halo_z (space-sharded) is 3-D only"
     with _scoped_x64(False):
         q = u_c.shape[0]
         nx_p = u_c.shape[-1]
         extra = [u_c, r_c] if residual else [u_c]
+        if dim == 3:
+            # halo_z: u_c carries p real halo planes per z end; the output
+            # covers only the interior (the shard's own planes)
+            nzp = u_c.shape[1] - (2 * p if halo_z else 0)
+            ny_p = u_c.shape[2]
+            out_shape3 = (q, nzp, ny_p, nx_p)
         if dim == 3 and by:
-            nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
             spec = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
             return pl.pallas_call(
-                _make_kernel_3d_canon_yb(p, residual=residual),
+                _make_kernel_3d_canon_yb(p, residual=residual,
+                                         halo_z=halo_z),
                 grid=(q, nzp // bz, ny_p // by),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1716,18 +1773,18 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, r_c=None, *, p, dim, interpret,
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ] + ([spec] if residual else []),
                 out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+                out_shape=jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                 scratch_shapes=_slab_scratch_canon_yb(bz, p, by, nx_p),
                 interpret=interpret,
             )(w, zb, yb, xmat, *extra)
         if dim == 3:
-            nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
             spec = pl.BlockSpec(
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             )
             return pl.pallas_call(
-                _make_kernel_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu,
+                _make_kernel_3d(p, z_off=0, x_roll=x_roll,
+                                canon=not halo_z, y_mxu=y_mxu,
                                 residual=residual),
                 grid=(q, nzp // bz),
                 in_specs=[
@@ -1738,7 +1795,7 @@ def _fused_apply_canon(w, zb, yb, xmat, u_c, r_c=None, *, p, dim, interpret,
                     pl.BlockSpec(memory_space=pltpu.ANY),
                 ] + ([spec] if residual else []),
                 out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct(u_c.shape, jnp.float32),
+                out_shape=jax.ShapeDtypeStruct(out_shape3, jnp.float32),
                 scratch_shapes=_slab_scratch(bz, p, ny_p, nx_p),
                 interpret=interpret,
             )(w, zb, yb, xmat, *extra)
@@ -2145,24 +2202,37 @@ def _fused_cheb2_canon(
 
 def fused_stencil_apply_canon(
     ops: LevelOps, a, b, u_c, dim: int, *, interpret: bool = False,
-    force_yb: int = 0, tables=None, sub_from=None,
+    force_yb: int = 0, tables=None, sub_from=None, halo_z: bool = False,
 ):
     """(a M + b K) on a canonical-layout stage block — ONE HBM round trip,
     pads in == zero implies pads out == zero (no scrubs).
 
     ``sub_from`` (3-D only): return ``sub_from - (a M + b K) u`` with the
     subtraction in the kernel epilogue — the V-cycle's restriction
-    residual pays 3 HBM passes instead of apply + XLA subtract (5)."""
+    residual pays 3 HBM passes instead of apply + XLA subtract (5).
+
+    ``halo_z`` (3-D only): ``u_c`` carries p REAL halo planes at each z
+    end (one space shard of a z-sharded field, neighbor planes already
+    exchanged — ``ops/pallas/sharded.py``); the output covers the
+    interior planes only, and the threaded ``tables``' z band rows must
+    correspond to the shard's own rows."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = u_c.shape[0]
     a_arr = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(a, jnp.float32)), (q,))
     b_arr = jnp.broadcast_to(jnp.asarray(b, jnp.float32), (q,))
     w = jnp.stack([a_arr, b_arr], axis=1)
+    # by / x_roll / y_mxu are pure functions of the plane geometry
+    # (z-blind), so halo'd and zero-halo shapes resolve identically
     by = force_yb or _canon_by(u_c, p, dim)
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
     y_mxu = (not by) and _y_mxu_canon(u_c.shape, p, dim)
     _check_canon_tables(tables, x_roll, y_mxu)
+    if halo_z and tables is None:
+        # the z band rows are GLOBAL per-row weights; a halo'd local
+        # shape cannot reconstruct them — the sharded wrapper slices the
+        # global tables per shard (ops/pallas/sharded.py)
+        raise ValueError("halo_z requires per-shard threaded tables")
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -2172,34 +2242,42 @@ def fused_stencil_apply_canon(
         return _fused_apply_canon(
             w, zb, yb, xmat, u_c, sub_from, p=p, dim=dim,
             interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
+            halo_z=halo_z,
         )
     out = _fused_apply_canon(
         w, zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
-        x_roll=x_roll, by=by, y_mxu=y_mxu,
+        x_roll=x_roll, by=by, y_mxu=y_mxu, halo_z=halo_z,
     )
     return out if sub_from is None else sub_from - out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "dim", "interpret", "x_roll", "by", "y_mxu"),
+    static_argnames=(
+        "p", "dim", "interpret", "x_roll", "by", "y_mxu", "halo_z"
+    ),
 )
 def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
-                          by=0, y_mxu=False):
+                          by=0, y_mxu=False, halo_z=False):
     from jax._src.config import enable_x64 as _scoped_x64
 
+    assert not halo_z or dim == 3, "halo_z (space-sharded) is 3-D only"
     with _scoped_x64(False):
         q = u_c.shape[0]
         nx_p = u_c.shape[-1]
-        shape = jax.ShapeDtypeStruct(u_c.shape, jnp.float32)
+        if dim == 3:
+            nzp = u_c.shape[1] - (2 * p if halo_z else 0)
+            ny_p = u_c.shape[2]
+            shape = jax.ShapeDtypeStruct((q, nzp, ny_p, nx_p), jnp.float32)
+        else:
+            shape = jax.ShapeDtypeStruct(u_c.shape, jnp.float32)
         if dim == 3 and by:
-            nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
             spec = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
             return pl.pallas_call(
-                _make_kernel_ms_3d_canon_yb(p),
+                _make_kernel_ms_3d_canon_yb(p, halo_z=halo_z),
                 grid=(q, nzp // bz, ny_p // by),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2213,14 +2291,13 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
                 interpret=interpret,
             )(zb, yb, xmat, u_c)
         if dim == 3:
-            nzp, ny_p = u_c.shape[1], u_c.shape[2]
             bz = _BZ
             spec = pl.BlockSpec(
                 (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
             )
             return pl.pallas_call(
-                _make_kernel_ms_3d(p, x_roll=x_roll, canon=True,
-                                   y_mxu=y_mxu),
+                _make_kernel_ms_3d(p, z_off=0, x_roll=x_roll,
+                                   canon=not halo_z, y_mxu=y_mxu),
                 grid=(q, nzp // bz),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2251,15 +2328,18 @@ def _fused_ms_apply_canon(zb, yb, xmat, u_c, *, p, dim, interpret, x_roll,
 
 def fused_mass_stiffness_apply_canon(
     ops: LevelOps, u_c, dim: int, *, interpret: bool = False,
-    force_yb: int = 0, tables=None,
+    force_yb: int = 0, tables=None, halo_z: bool = False,
 ):
-    """(M u, K u) on a canonical-layout stage block, one HBM pass."""
+    """(M u, K u) on a canonical-layout stage block, one HBM pass.
+    ``halo_z``: see ``fused_stencil_apply_canon``."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     by = force_yb or _canon_by(u_c, p, dim, kind="ms")
     x_roll = (not by) and _x_roll_ok(p, dim, u_c.shape[-1])
     y_mxu = (not by) and _y_mxu_canon(u_c.shape, p, dim)
     _check_canon_tables(tables, x_roll, y_mxu)
+    if halo_z and tables is None:
+        raise ValueError("halo_z requires per-shard threaded tables")
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -2267,14 +2347,14 @@ def fused_mass_stiffness_apply_canon(
     )
     return _fused_ms_apply_canon(
         zb, yb, xmat, u_c, p=p, dim=dim, interpret=interpret,
-        x_roll=x_roll, by=by, y_mxu=y_mxu,
+        x_roll=x_roll, by=by, y_mxu=y_mxu, halo_z=halo_z,
     )
 
 
 def fused_cheb_iter_canon(
     ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
     *, interpret: bool = False, force_yb: int = 0, tables=None,
-    diag_tables=None,
+    diag_tables=None, halo_z: bool = False,
 ):
     """One fused Chebyshev iteration on canonical-layout stage blocks
     (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
@@ -2284,7 +2364,12 @@ def fused_cheb_iter_canon(
     With ``diag_tables`` (from ``cheb_diag_tables``) the kernel rebuilds
     D⁻¹ in-kernel from the 1D Kronecker factors instead of reading
     ``invd_c`` — one fewer HBM pass per iteration (``invd_c`` may then
-    be None)."""
+    be None).
+
+    ``halo_z`` (3-D only): ``d_c`` (the apply operand) carries p REAL
+    halo planes per z end — one space shard, neighbor planes exchanged
+    (``ops/pallas/sharded.py``); r/x/invd and all outputs are interior.
+    Requires per-shard threaded tables (z rows sliced to the shard)."""
     interpret = interpret or _INTERPRET
     p = (ops.mass_band.shape[0] - 1) // 2
     q = d_c.shape[0]
@@ -2296,6 +2381,8 @@ def fused_cheb_iter_canon(
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
     y_mxu = (not by) and _y_mxu_canon(d_c.shape, p, dim)
     _check_canon_tables(tables, x_roll, y_mxu)
+    if halo_z and tables is None:
+        raise ValueError("halo_z requires per-shard threaded tables")
     zb, yb, xmat = (
         tables
         if tables is not None
@@ -2306,38 +2393,45 @@ def fused_cheb_iter_canon(
         return _fused_cheb_canon_dg(
             w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, p=p,
             interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
+            halo_z=halo_z,
         )
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
         interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
+        halo_z=halo_z,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "interpret", "x_roll", "by", "y_mxu")
+    jax.jit,
+    static_argnames=("p", "interpret", "x_roll", "by", "y_mxu", "halo_z"),
 )
 def _fused_cheb_canon_dg(
     w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, *, p, interpret, x_roll,
-    by=0, y_mxu=False,
+    by=0, y_mxu=False, halo_z=False,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        q, nzp, ny_p, nx_p = d_c.shape
+        # halo_z: d (the DMA'd apply operand) carries p real z halo planes
+        # per end; the blocked r/x operands and all outputs are interior
+        q, _nzd, ny_p, nx_p = d_c.shape
+        nzp = r_c.shape[1]
         bz = _BZ
-        assert r_c.dtype == d_c.dtype, "cheb state (r, d) dtypes must match"
-        shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        if r_c.dtype != d_c.dtype:
+            raise TypeError("cheb state (r, d) dtypes must match")
+        shape = jax.ShapeDtypeStruct(r_c.shape, jnp.float32)
         small = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         if by:
             # r/d outputs keep the state dtype (bf16 under _CHEB_BF16);
             # x keeps its own (f32 — the V-cycle output)
-            shape_s = jax.ShapeDtypeStruct(d_c.shape, d_c.dtype)
+            shape_s = jax.ShapeDtypeStruct(r_c.shape, d_c.dtype)
             shape_x = jax.ShapeDtypeStruct(x_c.shape, x_c.dtype)
             blocked = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
             return pl.pallas_call(
-                _make_kernel_cheb_3d_canon_yb(p, diag=True),
+                _make_kernel_cheb_3d_canon_yb(p, diag=True, halo_z=halo_z),
                 grid=(q, nzp // bz, ny_p // by),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2353,16 +2447,18 @@ def _fused_cheb_canon_dg(
                 ),
                 interpret=interpret,
             )(w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c)
-        assert d_c.dtype == jnp.float32, (
-            "bf16 cheb state is y-blocked-only (whole-plane kernels are "
-            "compute-bound; see _CHEB_BF16)"
-        )
+        if d_c.dtype != jnp.float32:
+            raise TypeError(
+                "bf16 cheb state is y-blocked-only (whole-plane kernels "
+                "are compute-bound; see _CHEB_BF16)"
+            )
         blocked = pl.BlockSpec(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
         return pl.pallas_call(
             _make_kernel_cheb_3d(
-                p, x_roll=x_roll, canon=True, y_mxu=y_mxu, diag=True
+                p, x_roll=x_roll, canon=not halo_z, y_mxu=y_mxu, diag=True,
+                halo_z=halo_z,
             ),
             grid=(q, nzp // bz),
             in_specs=[
@@ -2380,28 +2476,33 @@ def _fused_cheb_canon_dg(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "interpret", "x_roll", "by", "y_mxu")
+    jax.jit,
+    static_argnames=("p", "interpret", "x_roll", "by", "y_mxu", "halo_z"),
 )
 def _fused_cheb_canon(
     w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll, by=0,
-    y_mxu=False,
+    y_mxu=False, halo_z=False,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
     with _scoped_x64(False):
-        q, nzp, ny_p, nx_p = d_c.shape
+        # halo_z: d carries p real z halo planes per end (see
+        # _fused_cheb_canon_dg); r/x/invd and the outputs are interior
+        q, _nzd, ny_p, nx_p = d_c.shape
+        nzp = r_c.shape[1]
         bz = _BZ
-        assert r_c.dtype == d_c.dtype, "cheb state (r, d) dtypes must match"
-        shape = jax.ShapeDtypeStruct(d_c.shape, jnp.float32)
+        if r_c.dtype != d_c.dtype:
+            raise TypeError("cheb state (r, d) dtypes must match")
+        shape = jax.ShapeDtypeStruct(r_c.shape, jnp.float32)
         if by:
             # see _fused_cheb_canon_dg: bf16 state rides the y-blocked path
-            shape_s = jax.ShapeDtypeStruct(d_c.shape, d_c.dtype)
+            shape_s = jax.ShapeDtypeStruct(r_c.shape, d_c.dtype)
             shape_x = jax.ShapeDtypeStruct(x_c.shape, x_c.dtype)
             blocked = pl.BlockSpec(
                 (1, bz, by, nx_p), lambda iq, iz, iy: _i32(iq, iz, iy, 0)
             )
             return pl.pallas_call(
-                _make_kernel_cheb_3d_canon_yb(p),
+                _make_kernel_cheb_3d_canon_yb(p, halo_z=halo_z),
                 grid=(q, nzp // bz, ny_p // by),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2420,15 +2521,17 @@ def _fused_cheb_canon(
                 ),
                 interpret=interpret,
             )(w, zb, yb, xmat, d_c, r_c, x_c, invd_c)
-        assert d_c.dtype == jnp.float32, (
-            "bf16 cheb state is y-blocked-only (whole-plane kernels are "
-            "compute-bound; see _CHEB_BF16)"
-        )
+        if d_c.dtype != jnp.float32:
+            raise TypeError(
+                "bf16 cheb state is y-blocked-only (whole-plane kernels "
+                "are compute-bound; see _CHEB_BF16)"
+            )
         blocked = pl.BlockSpec(
             (1, bz, ny_p, nx_p), lambda iq, iz: _i32(iq, iz, 0, 0)
         )
         return pl.pallas_call(
-            _make_kernel_cheb_3d(p, x_roll=x_roll, canon=True, y_mxu=y_mxu),
+            _make_kernel_cheb_3d(p, x_roll=x_roll, canon=not halo_z,
+                                 y_mxu=y_mxu, halo_z=halo_z),
             grid=(q, nzp // bz),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -2995,9 +3098,11 @@ def fused_stencil_apply_padded(
 
 
 def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
-                         y_mxu: bool = False, diag: bool = False):
+                         y_mxu: bool = False, diag: bool = False,
+                         halo_z: bool = False):
     nb = 2 * p + 1
-    assert not diag or canon  # factor pads assume the canonical layout
+    # factor pads assume the canonical layout (halo_z is its sharded form)
+    assert not diag or canon or halo_z
 
     def kernel(w_ref, zb_ref, yb_ref, xmat_ref, *rest):
         if diag:
@@ -3013,6 +3118,10 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         nx_p = r_out.shape[3]
         if canon:
             scratch = _slab_dma_canon(d_hbm, scratch2, sem, p, bz)
+        elif halo_z:
+            # p real halo planes at each z end (space-sharded layout):
+            # uniform windows [iz*bz, iz*bz + bz + 2p)
+            scratch = _slab_dma(d_hbm, scratch2, sem, p, 0, bz)
         else:
             scratch = _slab_dma(d_hbm, scratch2, sem, p, bz - p, bz)
         a = w_ref[iq, 0]

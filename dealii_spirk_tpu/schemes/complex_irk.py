@@ -87,16 +87,37 @@ class ComplexIRK(SchemeBase):
         # must flip together (krylov.COMPACT_GRID_DOFS)
         compact = int(np.prod(spatial)) > COMPACT_GRID_DOFS
         self._compact_restart = COMPACT_BASIS if compact else 0
+        # under a (pair, space) mesh the canonical kernels run via
+        # shard_map + halo ppermute (ops/pallas/sharded.py; see
+        # schemes/irk.py) — the pair-block extents (n2 and 2*n2) always
+        # split over the pair axis, so only the space split is gated
+        mesh_kernels_ok = mesh is None or (
+            dim == 3
+            and st.canon_shardable(
+                spatial, p_deg, dim, mesh.shape["space"]
+            )
+        )
         use_canon = (
             mode == "pallas"
-            and mesh is None
             and self.dtype == jnp.float32
             and st.canon_supported(spatial, p_deg, dim)
             and st.canon_worthwhile(spatial, p_deg, dim)
+            and mesh_kernels_ok
         )
         self.use_canon = use_canon
 
-        if use_canon:
+        if use_canon and mesh is not None:
+            from ..ops.pallas import sharded as shk
+
+            mass_b = lambda W, tb=None: shk.sharded_stencil_apply_canon(
+                fine, 1.0, 0.0, W, mesh, tables=tb
+            )
+            shifted_b = lambda si, Wi, tau, tb=None: (
+                shk.sharded_stencil_apply_canon(
+                    fine, si, tau, Wi, mesh, tables=tb
+                )
+            )
+        elif use_canon:
             mass_b = lambda W, tb=None: st.fused_stencil_apply_canon(
                 fine, 1.0, 0.0, W, dim, tables=tb
             )
@@ -120,8 +141,13 @@ class ComplexIRK(SchemeBase):
 
         # one-pass stage mixes on canonical-layout fields (r4): the
         # complex T/T^{-1} basis changes (reference main.cc:2149-2155,
-        # :2216-2225) otherwise cost ~4 HBM passes each as XLA dots
-        mix_c = st.stage_mix_canon if use_canon else stage_mix
+        # :2216-2225) otherwise cost ~4 HBM passes each as XLA dots.
+        # The mixes couple pair blocks across the stage axis, so under a
+        # mesh they stay XLA einsums (stage-axis all-gathers of
+        # space-LOCAL blocks — the shared-memory mixer semantics)
+        mix_c = (
+            st.stage_mix_canon if (use_canon and mesh is None) else stage_mix
+        )
 
         def complex_b(d_re, d_im, Z, tau, tb=None):
             """2x2 block complex apply over pair blocks (n2, 2, *spatial)
@@ -149,7 +175,7 @@ class ComplexIRK(SchemeBase):
 
         def _vc(prec, s_vec, tau, r):
             if use_canon:
-                return vcycle_canon(gmg, prec, s_vec, tau, r, dim)
+                return vcycle_canon(gmg, prec, s_vec, tau, r, dim, mesh=mesh)
             return vcycle(gmg, prec, s_vec, tau, r, dim, mode, batch=True)
 
         def inner_solve(rhs_pairs, prec, tau):

@@ -115,24 +115,52 @@ class IRK(SchemeBase):
         # must flip together (krylov.COMPACT_GRID_DOFS)
         compact = int(np.prod(spatial)) > COMPACT_GRID_DOFS
         self._compact_restart = COMPACT_BASIS if compact else 0
+        # under a (stage, space) mesh the canonical kernels run via
+        # shard_map + p-plane halo ppermute (ops/pallas/sharded.py — the
+        # reference's ghost exchange, operator.h:379-421) whenever the
+        # canonical z extent splits into whole per-shard blocks; without
+        # that layer, pallas_calls under the SPMD partitioner compile to
+        # full-field all-gathers of the space-sharded operand (round-4
+        # verdict, missing #1)
+        mesh_kernels_ok = mesh is None or (
+            dim == 3
+            and st.canon_shardable(
+                spatial, p_deg, dim, mesh.shape["space"]
+            )
+            and q % mesh.shape["stage"] == 0
+        )
         use_canon = (
             mode == "pallas"
-            and mesh is None
             and not sequential_stages
             and self.dtype == jnp.float32
             and q >= 2
             and st.canon_supported(spatial, p_deg, dim)
             and st.canon_worthwhile(spatial, p_deg, dim)
+            and mesh_kernels_ok
         )
         self.use_canon = use_canon
         # in-kernel stage coupling (r4): the outer vmult fuses the A^{-1}
         # mix into the dual mass/stiffness kernel (one HBM round trip vs
         # three: ms write + einsum read-combine-write) and the T/T^{-1}
         # basis changes run as one-pass mix kernels — the r8 step's
-        # largest non-kernel slice (ROUND3_NOTES)
-        use_ms_mix = use_canon and st.ms_mix_supported(spatial, p_deg, dim, q)
+        # largest non-kernel slice (ROUND3_NOTES).  Both are stage-
+        # COUPLED, so under a stage-sharded mesh the mixes go through the
+        # mesh mixers instead (ring ppermute / all-gather — exactly the
+        # reference's basis-change ring inside its vmult,
+        # main.cc:1582-1591)
+        use_ms_mix = (
+            use_canon
+            and mesh is None
+            and st.ms_mix_supported(spatial, p_deg, dim, q)
+        )
         self.use_ms_mix = use_ms_mix
-        mix_c = st.stage_mix_canon if use_canon else mixer
+        mix_c = (
+            st.stage_mix_canon if (use_canon and mesh is None) else mixer
+        )
+        if use_canon and mesh is not None:
+            from ..ops.pallas import sharded as shk
+        else:
+            shk = None
 
         def reinit(tau):
             return gmg_reinit(gmg, d_vec, tau, dim, mode, batch=True)
@@ -159,10 +187,15 @@ class IRK(SchemeBase):
                     fine, A_inv, tau, W, dim, tables=tables
                 )
             if use_canon:
-                MW, KW = st.fused_mass_stiffness_apply_canon(
-                    fine, W, dim, tables=tables
-                )
-                return mix_c(A_inv, MW) + tau * KW
+                if mesh is not None:
+                    MW, KW = shk.sharded_mass_stiffness_apply_canon(
+                        fine, W, mesh, tables=tables
+                    )
+                else:
+                    MW, KW = st.fused_mass_stiffness_apply_canon(
+                        fine, W, dim, tables=tables
+                    )
+                return shard(mix_c(A_inv, MW) + tau * KW)
             MW, KW = apply_mass_stiffness_batched(fine, W, dim, mode)
             return shard(mixer(A_inv, MW) + tau * KW)
 
@@ -225,13 +258,20 @@ class IRK(SchemeBase):
                     z = jnp.stack(outs)
                 elif inner_tol > 0.0 and not batched:
                     if use_canon:
-                        A_in = lambda Wb: st.fused_stencil_apply_canon(
-                            fine, d_vec, tau, shard(Wb), dim,
-                            tables=_fine_tables(prec),
-                        )
+                        if mesh is not None:
+                            A_in = lambda Wb: shk.sharded_stencil_apply_canon(
+                                fine, d_vec, tau, shard(Wb), mesh,
+                                tables=_fine_tables(prec),
+                            )
+                        else:
+                            A_in = lambda Wb: st.fused_stencil_apply_canon(
+                                fine, d_vec, tau, shard(Wb), dim,
+                                tables=_fine_tables(prec),
+                            )
                         M_in = lambda r: shard(
                             vcycle_canon(
-                                gmg, prec, d_vec, tau, shard(r), dim
+                                gmg, prec, d_vec, tau, shard(r), dim,
+                                mesh=mesh,
                             )
                         )
                     else:
@@ -254,7 +294,9 @@ class IRK(SchemeBase):
                     z = res.x
                     carry = carry + res.n_iterations
                 elif use_canon:
-                    z = vcycle_canon(gmg, prec, d_vec, tau, z, dim)
+                    z = vcycle_canon(
+                        gmg, prec, d_vec, tau, z, dim, mesh=mesh
+                    )
                     carry = carry + 1
                 else:
                     z = vcycle(

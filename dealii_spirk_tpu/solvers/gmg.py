@@ -455,12 +455,17 @@ def _chebyshev_padded(
 def _chebyshev_canon(
     ops, a, b, invd_c, theta, delta, r_c, dim,
     *, x0_c=None, degree=SMOOTHER_DEGREE, interpret=False, tables=None,
-    diag_tables=None, pair_tables=None,
+    diag_tables=None, pair_tables=None, mesh=None,
 ):
     """Chebyshev smoothing on canonical-layout stage blocks.  3D uses the
     fused iteration kernel (one HBM pass per iteration); 2D runs the
     elementwise chain with the canonical apply (no pad/slice passes
-    either way).  Pads stay exactly zero throughout."""
+    either way).  Pads stay exactly zero throughout.
+
+    ``mesh``: run the kernels (stage, space)-sharded over the device mesh
+    (ops/pallas/sharded.py — p-plane halo ppermute per apply, the
+    reference's ghost exchange under every cell loop,
+    operator.h:379-421); bitwise-identical results, 3-D only."""
     from ..ops.pallas import stencil as st
 
     if dim == 2:
@@ -469,6 +474,32 @@ def _chebyshev_canon(
         )
         return chebyshev_apply(
             A, invd_c, theta, delta, r_c, x0=x0_c, degree=degree, batch=True
+        )
+
+    # by is computed ONCE from the smoother state shape and threaded to
+    # the iteration kernel as force_yb, so the bf16 gate below and the
+    # kernel dispatch cannot diverge (ADVICE r4); the decision is z- and
+    # dtype-blind, hence identical for sharded and local layouts.
+    p = (ops.mass_band.shape[0] - 1) // 2
+    by_c = st._canon_by(r_c, p, dim, kind="cheb")
+
+    if mesh is not None:
+        from ..ops.pallas import sharded as shk
+
+        apply_c = lambda u: shk.sharded_stencil_apply_canon(
+            ops, a, b, u, mesh, tables=tables, interpret=interpret
+        )
+        cheb_iter = lambda c1, c2, d, rr, x: shk.sharded_cheb_iter_canon(
+            ops, a, b, c1, c2, d, rr, x, invd_c, mesh, tables=tables,
+            diag_tables=diag_tables, interpret=interpret, force_yb=by_c,
+        )
+    else:
+        apply_c = lambda u: st.fused_stencil_apply_canon(
+            ops, a, b, u, dim, interpret=interpret, tables=tables
+        )
+        cheb_iter = lambda c1, c2, d, rr, x: st.fused_cheb_iter_canon(
+            ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret,
+            tables=tables, diag_tables=diag_tables, force_yb=by_c,
         )
 
     def ex(s):
@@ -508,9 +539,7 @@ def _chebyshev_canon(
     if x0_c is None:
         rr = r_c
     else:
-        rr = r_c - st.fused_stencil_apply_canon(
-            ops, a, b, x0_c, dim, interpret=interpret, tables=tables
-        )
+        rr = r_c - apply_c(x0_c)
     z = apply_invd(rr)
     d = z / ex(theta)
     x = d if x0_c is None else x0_c + d
@@ -518,12 +547,12 @@ def _chebyshev_canon(
     # the y-blocked iteration kernel is HBM-bound, x (the output the
     # Krylov solver reads) stays f32, arithmetic stays f32 in VMEM.  The
     # casts fuse into the XLA init chain above (no extra pass).
-    p = (ops.mass_band.shape[0] - 1) // 2
     use_bf16 = (
         st._CHEB_BF16
         and dim == 3
+        and mesh is None
         and r_c.dtype == jnp.float32
-        and st._canon_by(r_c, p, dim, kind="cheb") > 0
+        and by_c > 0
     )
     if use_bf16:
         rr = rr.astype(jnp.bfloat16)
@@ -534,10 +563,7 @@ def _chebyshev_canon(
         rho_new = 1.0 / (2.0 * sigma - rho)
         c1 = rho_new * rho
         c2 = 2.0 * rho_new / delta
-        rr, d, x = st.fused_cheb_iter_canon(
-            ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret,
-            tables=tables, diag_tables=diag_tables,
-        )
+        rr, d, x = cheb_iter(c1, c2, d, rr, x)
         return rr, d, x, rho_new
 
     def body2(_k, state):
@@ -561,7 +587,10 @@ def _chebyshev_canon(
     state = (rr, d, x, rho)
     n_it = degree - 1
     use_pair = (
-        pair_tables is not None and diag_tables is not None and not use_bf16
+        pair_tables is not None
+        and diag_tables is not None
+        and not use_bf16
+        and mesh is None  # the pair kernel has no sharded variant
     )
     n_pair, n_single = divmod(n_it, 2) if use_pair else (0, n_it)
     if r_c.size <= _UNROLL_LIMIT:
@@ -590,6 +619,7 @@ def vcycle_canon(
     *,
     degree: int = SMOOTHER_DEGREE,
     interpret: bool = False,
+    mesh=None,
 ):
     """Batched V-cycle on the zero-halo canonical layout: ``r_c`` and the
     result are (q, *canon_shape(fine)) with pads exactly zero; applies and
@@ -600,6 +630,15 @@ def vcycle_canon(
     fp reduction-order effects between x-contraction variants (scheme
     tests allow ±1).  Levels too small for the canonical kernels fall back
     to the compact path locally (cheap there).
+
+    ``mesh``: kernels run (stage, space)-sharded over the device mesh via
+    shard_map + p-plane halo ppermute (ops/pallas/sharded.py) at every
+    level whose z extent splits into whole per-shard blocks
+    (``canon_shardable``); smaller levels fall back to the compact XLA
+    stencil path, which the SPMD partitioner decomposes on its own (the
+    reference coarsens onto fewer ranks the same way,
+    preconditioner.h:287-339).  Grid transfers stay XLA dot_generals with
+    sharded outputs pinned — partitioned by XLA, not hand-scheduled.
     """
     from ..ops.banded import apply_dense_1d
     from ..ops.pallas import stencil as st
@@ -608,9 +647,22 @@ def vcycle_canon(
     n_levels = len(gmg.level_ops)
     spatials = [(ops.m,) * dim for ops in gmg.level_ops]
 
+    def _pin(u_c):
+        """Pin a canonical stage block to the (stage, space) mesh so the
+        transfer contractions reshard instead of gathering."""
+        if mesh is None:
+            return u_c
+        from ..parallel.sharding import stage_block_sharding
+
+        return jax.lax.with_sharding_constraint(
+            u_c, stage_block_sharding(mesh, u_c.ndim)
+        )
+
     def _canon_ok(l):
         # a canonical level carries EITHER the padded inverse diagonal or
-        # the 1D diag factors (gmg_reinit builds exactly one of the two)
+        # the 1D diag factors (gmg_reinit builds exactly one of the two);
+        # under a mesh the level must additionally split into whole
+        # per-shard z blocks for the sharded kernels
         inv_ok = (
             prec.inv_diags_canon is not None
             and prec.inv_diags_canon[l] is not None
@@ -619,10 +671,15 @@ def vcycle_canon(
             prec.cheb_diag_canon is not None
             and prec.cheb_diag_canon[l] is not None
         )
-        return inv_ok or dg_ok
+        shard_ok = mesh is None or st.canon_shardable(
+            spatials[l], p, dim, mesh.shape["space"]
+        )
+        return (inv_ok or dg_ok) and shard_ok
 
     def _transfer_mats(l):
-        """Canonical-embedded 1D transfer matrices, levels l <-> l+1."""
+        """Canonical-embedded 1D transfer matrices, levels l <-> l+1
+        (numpy trace-time constants; the z matrix additionally feeds the
+        sharded-transfer bandwidth analysis under a mesh)."""
         P1 = np.asarray(gmg.prolongs[l], dtype=np.float32)
         cs_f = st.canon_shape(spatials[l + 1], p, dim)
         cs_c = st.canon_shape(spatials[l], p, dim)
@@ -630,13 +687,25 @@ def vcycle_canon(
         for ax in range(dim):
             Pp = np.zeros((cs_f[ax], cs_c[ax]), np.float32)
             Pp[: P1.shape[0], : P1.shape[1]] = P1
-            mats_P.append(jnp.asarray(Pp))
-            mats_R.append(jnp.asarray(Pp.T))
+            mats_P.append(Pp)
+            mats_R.append(Pp.T)
         return mats_P, mats_R
 
     def _apply_axes(mats, u):
         for ax_i, m_ in enumerate(mats):
-            u = apply_dense_1d(m_, u, 1 + ax_i)
+            if mesh is not None and ax_i == 0 and dim == 3:
+                # the z contraction runs over the space-sharded axis; as
+                # a global dot XLA emits a full-z all-gather of the field
+                # (verified HLO) — contract locally with an h-plane halo
+                # ppermute instead (grid transfers are banded about the
+                # 2:1 coarsening map)
+                from ..ops.pallas import sharded as shk
+
+                plan = shk.transfer_z_plan(m_, mesh.shape["space"])
+                if plan is not None:
+                    u = shk.sharded_transfer_z(plan, u, mesh)
+                    continue
+            u = apply_dense_1d(jnp.asarray(m_), u, 1 + ax_i)
         return u
 
     def _tables(l):
@@ -646,6 +715,13 @@ def vcycle_canon(
 
     def _A_canon(l):
         ops = gmg.level_ops[l]
+        if mesh is not None:
+            from ..ops.pallas import sharded as shk
+
+            return lambda uc: shk.sharded_stencil_apply_canon(
+                ops, a, b, uc, mesh, tables=_tables(l),
+                interpret=interpret,
+            )
         return lambda uc: st.fused_stencil_apply_canon(
             ops, a, b, uc, dim, interpret=interpret, tables=_tables(l)
         )
@@ -676,6 +752,7 @@ def vcycle_canon(
                     if prec.cheb2_canon is not None
                     else None
                 ),
+                mesh=mesh,
             )
         # small level: compact classic smoothing (arrays are tiny here)
         sp = spatials[l]
@@ -709,9 +786,9 @@ def vcycle_canon(
         x = smooth(l, rl_c)
         res = residual(l, rl_c, x)
         mats_P, mats_R = _transfer_mats(l - 1)
-        rc = _apply_axes(mats_R, res)
+        rc = _pin(_apply_axes(mats_R, res))
         xc = solve(l - 1, rc)
-        x = x + _apply_axes(mats_P, xc)
+        x = x + _pin(_apply_axes(mats_P, xc))
         return smooth(l, rl_c, x0_c=x)
 
     return solve(n_levels - 1, r_c)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3,
-            op_mode="", dt=0.1):
+            op_mode="", dt=0.1, dim=3):
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.problem import HeatProblem
     from dealii_spirk_tpu.schemes import make_scheme
@@ -38,7 +38,7 @@ def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3,
     }
     if op_mode:
         raw["OperatorMode"] = op_mode
-    params = Parameters.from_dict(raw, dim=3)
+    params = Parameters.from_dict(raw, dim=dim)
     problem = HeatProblem(params)
     scheme_o = make_scheme(problem, params)
     tau = params.time_step_size
@@ -73,6 +73,7 @@ def run_one(scheme, ref, q, p, inner_tol=0.0, outer_tol=1e-4, n_steps=3,
 
     return {
         "scheme": scheme,
+        "dim": dim,
         "ref": ref,
         "q": q,
         "p": p,
@@ -117,6 +118,12 @@ GROUPS = {
         {**_B, "scheme": "complex_irk_batched", "p": 4},
     ],
     "r8": [{**_B, "ref": 8}],
+    # the reference builds irk-2D as a co-equal executable
+    # (CMakeLists.txt:38-46); degree x size sweep on hardware, both the
+    # default dispatch and the XLA stencil path (VERDICT r4 #6)
+    "2d": [{**_B, "dim": 2, "ref": r, "p": p, "op_mode": m}
+           for (p, r) in ((1, 10), (1, 12), (2, 9), (3, 9), (4, 8))
+           for m in ("", "stencil")],
 }
 
 
