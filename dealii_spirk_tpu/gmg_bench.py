@@ -130,7 +130,10 @@ def _bench_mode(
             # machinery pushed the program past the remote compiler's
             # request cap — sharing one lowered computation fits it
             # (VERDICT r4 #5; reference sweeps every mode at every
-            # refinement, gmg.cc:342)
+            # refinement, gmg.cc:342).  prec/shifts/tables must ALSO
+            # ride as jit ARGUMENTS of the outer solve: embedded as
+            # closure constants the 8-component canonical diagonals
+            # alone are hundreds of MB of program body (CLAUDE.md).
             raw_A = jax.jit(
                 lambda W, s_, ft_: stc.fused_stencil_apply_canon(
                     fine, s_, b, W, dim, tables=ft_
@@ -139,8 +142,18 @@ def _bench_mode(
             raw_M = jax.jit(
                 lambda r, pr_, s_: vcycle_canon(gmg, pr_, s_, b, r, dim)
             )
-            A = lambda W: raw_A(W, shifts, ft)
-            M = lambda r: raw_M(r, prec, shifts)
+            solve = jax.jit(
+                lambda r, pr_, s_, ft_: pcg(
+                    lambda W: raw_A(W, s_, ft_),
+                    r,
+                    M=lambda rr: raw_M(rr, pr_, s_),
+                    maxiter=1000,
+                    abstol=1e-20,
+                    reltol=reltol,
+                    batch=batch,
+                )
+            )
+            solve_args = (prec, shifts, ft)
         else:
             A = lambda W: constrain(
                 apply_shifted_batched(
@@ -156,15 +169,17 @@ def _bench_mode(
         A = lambda w: apply_shifted(fine, a, b, w, dim, mode)
         M = lambda r: vcycle(gmg, prec, a, b, r, dim, mode)
 
-    solve = jax.jit(
-        lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20, reltol=reltol,
-                      batch=batch)
-    )
-    res = solve(rhs)  # warmup (gmg.cc:226-239)
+    if not (batch and use_canon):
+        solve = jax.jit(
+            lambda r: pcg(A, r, M=M, maxiter=1000, abstol=1e-20,
+                          reltol=reltol, batch=batch)
+        )
+        solve_args = ()
+    res = solve(rhs, *solve_args)  # warmup (gmg.cc:226-239)
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
     for _ in range(N_REPETITIONS):
-        res = solve(rhs)
+        res = solve(rhs, *solve_args)
     jax.block_until_ready(res.x)
     elapsed = (time.perf_counter() - t0) / N_REPETITIONS
     n_it = (
@@ -186,6 +201,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--degree", type=int, default=1)
     parser.add_argument("--precision", default="f64", choices=("f32", "f64"))
+    parser.add_argument(
+        "--modes", default="",
+        help="comma-separated subset of scalar,fesystem8,batched8,"
+        "subgroups8 (default: all applicable)",
+    )
     parser.add_argument(
         "--op-mode",
         default="auto",
@@ -216,6 +236,9 @@ def main(argv=None) -> int:
             # the reference's "8 sub-communicators x 1 component" mode
             # (gmg.cc:362-371): component axis sharded one-per-device
             modes.append(("subgroups8", N_COMPONENTS, True, False))
+        if args.modes:
+            keep = set(args.modes.split(","))
+            modes = [m for m in modes if m[0] in keep]
         for label, nc, sharded, shared in modes:
             try:
                 elapsed, n_it = _bench_mode(
