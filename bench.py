@@ -44,7 +44,7 @@ class SolveCounts(NamedTuple):
 
 
 def _build(scheme_name: str, refinement: int, operator_mode: str = "",
-           degree: int = 1):
+           degree: int = 1, dim: int = 3):
     from dealii_spirk_tpu.config import Parameters
     from dealii_spirk_tpu.problem import HeatProblem
     from dealii_spirk_tpu.schemes import make_scheme
@@ -64,7 +64,7 @@ def _build(scheme_name: str, refinement: int, operator_mode: str = "",
             "Precision": "f32",
             "OperatorMode": operator_mode,
         },
-        dim=3,
+        dim=dim,
     )
     problem = HeatProblem(params)
     scheme = make_scheme(problem, params)
@@ -73,7 +73,7 @@ def _build(scheme_name: str, refinement: int, operator_mode: str = "",
 
 def _time_scheme(
     scheme_name: str, refinement: int, n_steps: int = 5,
-    operator_mode: str = "", degree: int = 1,
+    operator_mode: str = "", degree: int = 1, dim: int = 3,
 ):
     """Per-timestep device time via a TWO-POINT in-graph measurement.
 
@@ -88,7 +88,7 @@ def _time_scheme(
     time.
     """
     params, problem, scheme = _build(
-        scheme_name, refinement, operator_mode, degree
+        scheme_name, refinement, operator_mode, degree, dim
     )
     tau = params.time_step_size
     prec = scheme._reinit(tau)
@@ -155,16 +155,16 @@ def _time_scheme(
     err = problem.errors(u, (n + 1) * tau)
     if not float(err[0]) < 1e-2:
         raise RuntimeError(f"benchmark solution error off: L2={err[0]}")
-    return elapsed, counts, problem
+    return elapsed, counts, problem, err
 
 
 def main() -> None:
     import sys
 
     refinement = 7  # 127^3 interior DoFs per stage, q=4
-    t_native, counts, _problem = _time_scheme("irk_batched", refinement)
+    t_native, counts, _problem, _err = _time_scheme("irk_batched", refinement)
     # baseline: identical mathematics, mechanical (non-TPU-first) execution
-    t_baseline, counts_b, _ = _time_scheme(
+    t_baseline, counts_b, _, _err_b = _time_scheme(
         "irk_batched", refinement, operator_mode="stencil"
     )
     print(

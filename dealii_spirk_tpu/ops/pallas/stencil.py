@@ -274,6 +274,19 @@ _CHEB_PAIR = _os.environ.get("SPIRK_CHEB_PAIR", "0") == "1"
 # unchanged outer/inner iteration counts.  y-blocked kernels only.
 _CHEB_BF16 = _os.environ.get("SPIRK_CHEB_BF16", "0") == "1"
 
+# bf16x3 DOTS inside the fused Chebyshev kernels at EVERY degree: the
+# smoother only ever runs inside the preconditioner, so its A·d noise
+# perturbs M, not A — the accuracy argument that gates ``_bf16_ok`` to
+# degree 1 (those dots sit in operator applies that feed the outer
+# residual/accuracy oracle) does not apply to the smoother; the oracle
+# here is unchanged iteration counts (scripts/cheb_dot_ab.py measures
+# the kernel and the end-to-end step under that oracle).  At p >= 2 the
+# HIGHEST x-dot is ~half the cheb kernel's serial time (BASELINE r4
+# roofline: cheb at 60-65% of sum-roof vs 84% at p=1).  SPIRK_BF16X3=0
+# still wins as the global kill switch (``_dot_bf16x3`` checks it).
+# Read at kernel trace time — in-process flips need jax.clear_caches().
+_CHEB_DOT_BF16 = _os.environ.get("SPIRK_CHEB_DOT_BF16", "1") == "1"
+
 # Force interpret-mode execution of every public kernel entry point
 # (CPU testing of the full pallas-mode solve paths, incl. schemes)
 _INTERPRET = _os.environ.get("SPIRK_PALLAS_INTERPRET", "0") == "1"
@@ -331,18 +344,20 @@ def _bf16_ok(p: int) -> bool:
     return p == 1
 
 
-def _x_dot(CD, xm, p: int, force_highest: bool = False):
+def _x_dot(CD, xm, p: int, force_highest: bool = False,
+           force_bf16: bool = False):
     return _dot_bf16x3(
         CD, xm, (((2,), (0,)), ((), ())),
-        force_highest=force_highest or not _bf16_ok(p),
+        force_highest=force_highest or not (_bf16_ok(p) or force_bf16),
     )
 
 
-def _y_dot(Y, H, p: int, force_highest: bool = False):
+def _y_dot(Y, H, p: int, force_highest: bool = False,
+           force_bf16: bool = False):
     """(ny, ny) @ (ny, 2nx) plain matmul for the MXU y contraction."""
     return _dot_bf16x3(
         Y, H, (((1,), (0,)), ((), ())),
-        force_highest=force_highest or not _bf16_ok(p),
+        force_highest=force_highest or not (_bf16_ok(p) or force_bf16),
     )
 
 
@@ -351,7 +366,8 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, jnp.int32(shift % n), axis=axis)
 
 
-def _y_stage_mxu(E, F, yb_ref, ny_p: int, p: int):
+def _y_stage_mxu(E, F, yb_ref, ny_p: int, p: int,
+                 force_bf16: bool = False):
     """MXU y contraction: C = Wm E + Ws F and D = Wm F computed as two
     bf16x3 matmuls per z-plane, ``[C|D] = Wm @ [E|F] + Ws @ [F|0]`` —
     and the (bz, ny, 2nx) result IS the x-dot operand (the lane concat
@@ -368,7 +384,8 @@ def _y_stage_mxu(E, F, yb_ref, ny_p: int, p: int):
     for z in range(E.shape[0]):
         H1 = jnp.concatenate([E[z], F[z]], axis=1)
         H2 = jnp.concatenate([F[z], zero], axis=1)
-        rows.append(_y_dot(Wm, H1, p) + _y_dot(Ws, H2, p))
+        rows.append(_y_dot(Wm, H1, p, force_bf16=force_bf16)
+                    + _y_dot(Ws, H2, p, force_bf16=force_bf16))
     return jnp.stack(rows)
 
 
@@ -1672,7 +1689,7 @@ def _make_kernel_cheb_3d_canon_yb(p: int, diag: bool = False,
             D = d_term if D is None else D + d_term
         Ad = _x_dot(
             jnp.concatenate([C, D], axis=-1), xmat_ref[:]
-        , p)
+        , p, force_bf16=_CHEB_DOT_BF16)
         r_new = r_ref[0].astype(f32) - Ad
         if diag:
             dgz = dgz_ref[pl.ds(iz * bz, bz)]
@@ -2070,7 +2087,8 @@ def _make_kernel_cheb2_3d_canon_yb(p: int):
             d_term = wm * rF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        Ad0 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+        Ad0 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p,
+                     force_bf16=_CHEB_DOT_BF16)
         r1 = r0[0:ez] - Ad0
         dgz1 = dgzp_w[8 - p : 8 - p + ez]
         z1 = _dg_z(
@@ -2106,7 +2124,8 @@ def _make_kernel_cheb2_3d_canon_yb(p: int):
             d_term = wm * sF
             C = c_term if C is None else C + c_term
             D = d_term if D is None else D + d_term
-        Ad1 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+        Ad1 = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p,
+                     force_bf16=_CHEB_DOT_BF16)
         r1c = r1[p : p + bz][:, 8 : 8 + by, :]
         d1c = d1[p : p + bz][:, 8 : 8 + by, :]
         r2 = r1c - Ad1
@@ -3140,7 +3159,8 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
         E = a * Zm + b * Zk
         F = b * Zm
         if y_mxu:
-            CD = _y_stage_mxu(E, F, yb_ref, ny_p, p)
+            CD = _y_stage_mxu(E, F, yb_ref, ny_p, p,
+                              force_bf16=_CHEB_DOT_BF16)
             C = CD[:, :, :nx_p]
             D = CD[:, :, nx_p:]
         else:
@@ -3165,9 +3185,10 @@ def _make_kernel_cheb_3d(p: int, x_roll: bool = False, canon: bool = False,
                 t = wm * rc + ws * rd
                 Ad = t if Ad is None else Ad + t
         elif y_mxu:
-            Ad = _x_dot(CD, xmat_ref[:], p)
+            Ad = _x_dot(CD, xmat_ref[:], p, force_bf16=_CHEB_DOT_BF16)
         else:
-            Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p)
+            Ad = _x_dot(jnp.concatenate([C, D], axis=-1), xmat_ref[:], p,
+                        force_bf16=_CHEB_DOT_BF16)
         r_new = r_ref[0] - Ad
         if diag:
             dgz = dgz_ref[pl.ds(iz * bz, bz)]

@@ -34,12 +34,12 @@ def main():
           f"degree {degree})")
 
     st._CHEB_BF16 = False
-    t_f32, n_f32, _ = _time_scheme(scheme, refinement, degree=degree)
+    t_f32, n_f32, _, _err = _time_scheme(scheme, refinement, degree=degree)
     print(f"f32  cheb state: {t_f32 * 1e3:8.2f} ms/step "
           f"(outer/inner totals {tuple(n_f32)})")
 
     st._CHEB_BF16 = True
-    t_bf, n_bf, _ = _time_scheme(scheme, refinement, degree=degree)
+    t_bf, n_bf, _, _err = _time_scheme(scheme, refinement, degree=degree)
     print(f"bf16 cheb state: {t_bf * 1e3:8.2f} ms/step "
           f"(outer/inner totals {tuple(n_bf)})")
 

@@ -135,10 +135,14 @@ def main():
             ),
         }
         bf16 = st._bf16_ok(p)
-        mxu_rate = MXU_MACS_BF16X3 if bf16 else MXU_MACS_HIGH
         for name, (fn, passes, vpu_ops, mxu_macs) in kernels.items():
             if fn is None:
                 continue
+            # the cheb kernel's dots are smoother-only (perturb M, not
+            # A), so they run bf16x3 at every degree under
+            # SPIRK_CHEB_DOT_BF16 (default on) — model that rate
+            bf16_k = bf16 or (name == "cheb" and st._CHEB_DOT_BF16)
+            mxu_rate = MXU_MACS_BF16X3 if bf16_k else MXU_MACS_HIGH
             t = slope(fn, (Wc,), reps=reps, max_n=max_n)
             nbytes = passes * n_log * 4
             gbps = nbytes / t / 1e9

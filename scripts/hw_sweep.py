@@ -118,12 +118,11 @@ GROUPS = {
         {**_B, "scheme": "complex_irk_batched", "p": 4},
     ],
     "r8": [{**_B, "ref": 8}],
-    # the reference builds irk-2D as a co-equal executable
-    # (CMakeLists.txt:38-46); degree x size sweep on hardware, both the
-    # default dispatch and the XLA stencil path (VERDICT r4 #6)
-    "2d": [{**_B, "dim": 2, "ref": r, "p": p, "op_mode": m}
-           for (p, r) in ((1, 10), (1, 12), (2, 9), (3, 9), (4, 8))
-           for m in ("", "stencil")],
+    # 2D (the reference's co-equal irk-2D executable) lives in
+    # scripts/sweep_2d.py: it times with the two-point in-graph slope
+    # and enforces the pallas-vs-stencil count/L2 parity oracle per row
+    # (this script's host-side loop timing is only within-run honest on
+    # the remote-tunnel machine, BASELINE.md)
 }
 
 

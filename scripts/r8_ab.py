@@ -34,7 +34,7 @@ def main():
 
     print(f"device: {jax.devices()[0]}  ({scheme}, refinement {refinement})")
 
-    t_fused, n_fused, prob = _time_scheme(scheme, refinement)
+    t_fused, n_fused, prob, _err = _time_scheme(scheme, refinement)
     print(f"fused   (ms-mix + mix kernels): {t_fused * 1e3:8.2f} ms/step "
           f"({n_fused} outer)")
 
@@ -44,7 +44,7 @@ def main():
 
     st.ms_mix_supported = lambda *a, **k: False
     st.stage_mix_canon = gemm_mix
-    t_unf, n_unf, _ = _time_scheme(scheme, refinement)
+    t_unf, n_unf, _, _err = _time_scheme(scheme, refinement)
     print(f"unfused (ms-dual + GEMM mixes): {t_unf * 1e3:8.2f} ms/step "
           f"({n_unf} outer)")
     assert n_fused == n_unf, (n_fused, n_unf)

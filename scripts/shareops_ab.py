@@ -29,11 +29,11 @@ def main():
     print(f"device: {jax.devices()[0]}  ({scheme}, refinement {refinement})")
 
     os.environ["SPIRK_SHARE_OPS"] = "1"
-    t_sh, n_sh, _ = _time_scheme(scheme, refinement)
+    t_sh, n_sh, _, _err = _time_scheme(scheme, refinement)
     print(f"shared  Aop/Mop: {t_sh * 1e3:8.2f} ms/step ({n_sh} outer)")
 
     os.environ["SPIRK_SHARE_OPS"] = "0"
-    t_in, n_in, _ = _time_scheme(scheme, refinement)
+    t_in, n_in, _, _err = _time_scheme(scheme, refinement)
     print(f"inlined Aop/Mop: {t_in * 1e3:8.2f} ms/step ({n_in} outer)")
     assert n_sh == n_in, (n_sh, n_in)
     print(f"-> inlined is {t_sh / t_in:.2f}x; "

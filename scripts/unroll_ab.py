@@ -31,12 +31,12 @@ def main():
     # unrolled is the DEFAULT since round 4 — force the fori variant
     # explicitly for the A side
     gmg_mod._UNROLL_LIMIT = 0
-    t_fori, n_fori, _ = _time_scheme(scheme, refinement)
+    t_fori, n_fori, _, _err = _time_scheme(scheme, refinement)
     print(f"fori     smoother loop: {t_fori * 1e3:8.2f} ms/step "
           f"({n_fori} outer)")
 
     gmg_mod._UNROLL_LIMIT = 10**12
-    t_unr, n_unr, _ = _time_scheme(scheme, refinement)
+    t_unr, n_unr, _, _err = _time_scheme(scheme, refinement)
     print(f"unrolled smoother loop: {t_unr * 1e3:8.2f} ms/step "
           f"({n_unr} outer)")
     assert n_fori == n_unr, (n_fori, n_unr)

@@ -461,6 +461,51 @@ def test_canon_cheb_diag_tables_match_invd(p, ref, force_yb):
         assert float(jnp.abs(jnp.where(mask, g, 0)).max()) == 0.0
 
 
+def test_cheb_dot_bf16_flag_semantics(monkeypatch):
+    """SPIRK_CHEB_DOT_BF16 (bf16x3 dots inside the smoother kernels at
+    EVERY degree — the smoother perturbs M, not A, so ``_bf16_ok``'s
+    degree-1 accuracy gate does not apply): at p=2 the flag-off kernel
+    must reproduce the f32-HIGHEST iteration to f32 roundoff against
+    the XLA oracle, and the flag-on kernel the same iteration to bf16x3
+    tolerance (~1e-5 relative), pads exactly zero in both."""
+    from dealii_spirk_tpu.ops.mass_laplace import apply_shifted_batched
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim, p, ref = 3, 2, 3
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(5)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    d0 = jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    r0 = jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32)
+    invd = jnp.asarray(
+        np.abs(rng.standard_normal((q,) + sp)) + 0.5, jnp.float32
+    )
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b, c1, c2 = 0.21, 0.7, 0.4
+    Ad = apply_shifted_batched(ops, a, b, d0, dim, "stencil")
+    r_want = r0 - Ad
+    d_want = c1 * d0 + c2 * (invd * r_want)
+    wants = [r_want, d_want, x0 + d_want]
+    for flag, rel in [(False, 3e-6), (True, 1e-4)]:
+        monkeypatch.setattr(st, "_CHEB_DOT_BF16", flag)
+        got = st.fused_cheb_iter_canon(
+            ops, a, b, c1, c2, pc(d0), pc(r0), pc(x0), pc(invd), dim,
+            interpret=True, force_yb=8,
+        )
+        for g, w in zip(got, wants):
+            np.testing.assert_allclose(
+                st.unpad_canon(g, sp, dim), w,
+                atol=float(rel * np.abs(w).max() + 1e-6),
+            )
+            mask = np.ones(g.shape, bool)
+            mask[(slice(None),) + tuple(slice(0, s) for s in sp)] = False
+            assert float(jnp.abs(jnp.where(mask, g, 0)).max()) == 0.0
+
+
 @pytest.mark.parametrize("diag", [False, True])
 def test_canon_cheb_bf16_state_yblocked(diag):
     """SPIRK_CHEB_BF16 (bf16 STORAGE for the smoother state r/d on the
