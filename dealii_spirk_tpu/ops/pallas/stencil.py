@@ -1283,6 +1283,73 @@ def _canon_by(u_c, p: int, dim: int, kind: str = "apply") -> int:
     return by
 
 
+def cheb_canon_geom(shape_c, p: int, dim: int) -> tuple[int, int]:
+    """(bz, by) for the canonical fused Chebyshev kernel.
+
+    by keeps ``_canon_by_from_shape`` semantics (0 = whole-plane
+    preferred).  On the y-blocked path bz is chosen JOINTLY with by to
+    minimize the d-window DMA re-read factor
+    ``((bz+2p)(by+16))/(bz by)`` under the same 11 MB scoped-VMEM
+    budget: the round-5 probes showed the p >= 2 cheb kernels are
+    DMA-bound on exactly that re-read — removing the MXU x-dot or the
+    y-pass moves the kernel < 4% (``scripts/cheb_probe.py``) — and
+    bz=16 measured 1.06-1.12x at the p in {2,3,4} production shapes,
+    while bz=32 (and bz=16 at the p=1 by=64 shape) busts scoped VMEM
+    (``scripts/cheb_bz_probe.py``/``cheb_geom_sweep.py``).  At p=1 the
+    chooser keeps (8, 64): (16, 32)'s re-read (1.69x) is worse than
+    (8, 64)'s 1.56x.  ``SPIRK_CHEB_BZ`` (or ``_CHEB_BZ_FORCE``) pins bz
+    for A/B runs; 8 reproduces the pre-round-5 geometry exactly."""
+    if dim != 3:
+        return _BZ, 0
+    by0 = _canon_by_from_shape(shape_c, p, kind="cheb")
+    if by0 < 0:
+        raise ValueError("canonical kernels unsupported at this size")
+    if by0 == 0:
+        return _BZ, 0
+    force = _CHEB_BZ_FORCE or int(_os.environ.get("SPIRK_CHEB_BZ", "0"))
+    nzp, ny_p, nx_p = shape_c[1], shape_c[2], shape_c[3]
+    best, best_f = (_BZ, by0), (
+        (_BZ + 2 * p) * (by0 + 16) / (_BZ * by0)
+    )
+    for bz in (8, 16, 32):
+        if (force and bz != force) or nzp % bz:
+            continue
+        if bz + 2 * p > nzp:
+            continue  # haloed z window must fit the canonical extent
+        for by in range(min(256, ny_p - 8), 7, -8):
+            if ny_p % by:
+                continue
+            floats = (2 * (bz + 2 * p) + 2 * bz) * (by + 16) * nx_p + (
+                8 + _CANON_KIND_EXTRA["cheb"]
+            ) * bz * by * nx_p
+            # 13 MB here (vs _canon_by_from_shape's 11): the round-5
+            # probes compiled (16, 40) at p=3 (12.9 MB estimate) and
+            # failed from 13.7 MB estimates up — the budget sits
+            # between the measured compile/fail boundary points
+            if floats * 4 > 13 * 2**20:
+                continue
+            f = (bz + 2 * p) * (by + 16) / (bz * by)
+            if f < best_f - 1e-9:
+                best, best_f = (bz, by), f
+    if force and best[0] != force and nzp % force == 0:
+        # pinned bz admissible but never beat the default ⇒ pin anyway
+        # (A/B runs need the arm, not the optimum)
+        for by in range(min(256, ny_p - 8), 7, -8):
+            if ny_p % by:
+                continue
+            floats = (
+                2 * (force + 2 * p) + 2 * force
+            ) * (by + 16) * nx_p + (
+                8 + _CANON_KIND_EXTRA["cheb"]
+            ) * force * by * nx_p
+            if floats * 4 <= 13 * 2**20:
+                return force, by
+    return best
+
+
+_CHEB_BZ_FORCE = 0  # module-level pin for in-process A/B (see above)
+
+
 def canon_yb_for(spatial, p: int, dim: int, cheb: bool = False) -> int:
     """y-block size for the CANONICAL y-blocked kernels: 0 when the
     whole-plane canonical kernel fits (preferred), else the largest
@@ -2373,7 +2440,7 @@ def fused_mass_stiffness_apply_canon(
 def fused_cheb_iter_canon(
     ops: LevelOps, a, b, c1, c2, d_c, r_c, x_c, invd_c, dim: int,
     *, interpret: bool = False, force_yb: int = 0, tables=None,
-    diag_tables=None, halo_z: bool = False,
+    diag_tables=None, halo_z: bool = False, force_bz: int = 0,
 ):
     """One fused Chebyshev iteration on canonical-layout stage blocks
     (3D): r' = r - A d;  d' = c1 d + c2 D^{-1} r';  x' = x + d' in a
@@ -2396,7 +2463,13 @@ def fused_cheb_iter_canon(
         jnp.atleast_1d(jnp.asarray(s, jnp.float32)), (q,)
     )
     w = jnp.stack([to_q(a), to_q(b), to_q(c1), to_q(c2)], axis=1)
-    by = force_yb or _canon_by(d_c, p, dim, kind="cheb")
+    if force_yb:
+        by, bzk = force_yb, force_bz
+    else:
+        # joint (bz, by) geometry: minimizes the d-window DMA re-read
+        # on the y-blocked path (the p >= 2 binder, see cheb_canon_geom)
+        bzk, by = cheb_canon_geom(d_c.shape, p, dim)
+        bzk = force_bz or (0 if halo_z else bzk)
     x_roll = (not by) and _x_roll_ok(p, dim, d_c.shape[-1])
     y_mxu = (not by) and _y_mxu_canon(d_c.shape, p, dim)
     _check_canon_tables(tables, x_roll, y_mxu)
@@ -2412,22 +2485,24 @@ def fused_cheb_iter_canon(
         return _fused_cheb_canon_dg(
             w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, p=p,
             interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
-            halo_z=halo_z,
+            halo_z=halo_z, bzk=bzk,
         )
     return _fused_cheb_canon(
         w, zb, yb, xmat, d_c, r_c, x_c, invd_c, p=p,
         interpret=interpret, x_roll=x_roll, by=by, y_mxu=y_mxu,
-        halo_z=halo_z,
+        halo_z=halo_z, bzk=bzk,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "interpret", "x_roll", "by", "y_mxu", "halo_z"),
+    static_argnames=(
+        "p", "interpret", "x_roll", "by", "y_mxu", "halo_z", "bzk"
+    ),
 )
 def _fused_cheb_canon_dg(
     w, zb, yb, xmat, dgz, dgy, dgx, d_c, r_c, x_c, *, p, interpret, x_roll,
-    by=0, y_mxu=False, halo_z=False,
+    by=0, y_mxu=False, halo_z=False, bzk=0,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -2436,7 +2511,7 @@ def _fused_cheb_canon_dg(
         # per end; the blocked r/x operands and all outputs are interior
         q, _nzd, ny_p, nx_p = d_c.shape
         nzp = r_c.shape[1]
-        bz = _BZ
+        bz = (bzk or _BZ) if by else _BZ
         if r_c.dtype != d_c.dtype:
             raise TypeError("cheb state (r, d) dtypes must match")
         shape = jax.ShapeDtypeStruct(r_c.shape, jnp.float32)
@@ -2496,11 +2571,13 @@ def _fused_cheb_canon_dg(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p", "interpret", "x_roll", "by", "y_mxu", "halo_z"),
+    static_argnames=(
+        "p", "interpret", "x_roll", "by", "y_mxu", "halo_z", "bzk"
+    ),
 )
 def _fused_cheb_canon(
     w, zb, yb, xmat, d_c, r_c, x_c, invd_c, *, p, interpret, x_roll, by=0,
-    y_mxu=False, halo_z=False,
+    y_mxu=False, halo_z=False, bzk=0,
 ):
     from jax._src.config import enable_x64 as _scoped_x64
 
@@ -2509,7 +2586,7 @@ def _fused_cheb_canon(
         # _fused_cheb_canon_dg); r/x/invd and the outputs are interior
         q, _nzd, ny_p, nx_p = d_c.shape
         nzp = r_c.shape[1]
-        bz = _BZ
+        bz = (bzk or _BZ) if by else _BZ
         if r_c.dtype != d_c.dtype:
             raise TypeError("cheb state (r, d) dtypes must match")
         shape = jax.ShapeDtypeStruct(r_c.shape, jnp.float32)

@@ -476,12 +476,14 @@ def _chebyshev_canon(
             A, invd_c, theta, delta, r_c, x0=x0_c, degree=degree, batch=True
         )
 
-    # by is computed ONCE from the smoother state shape and threaded to
-    # the iteration kernel as force_yb, so the bf16 gate below and the
-    # kernel dispatch cannot diverge (ADVICE r4); the decision is z- and
-    # dtype-blind, hence identical for sharded and local layouts.
+    # (bz, by) is computed ONCE from the smoother state shape and
+    # threaded to the iteration kernel as force_yb/force_bz, so the bf16
+    # gate below and the kernel dispatch cannot diverge (ADVICE r4); the
+    # decision is z- and dtype-blind.  The sharded path keeps the
+    # default bz (its per-shard z extents gate on _BZ, sharded.py) but
+    # shares by so local and sharded runs stay bitwise-identical.
     p = (ops.mass_band.shape[0] - 1) // 2
-    by_c = st._canon_by(r_c, p, dim, kind="cheb")
+    bz_c, by_c = st.cheb_canon_geom(r_c.shape, p, dim)
 
     if mesh is not None:
         from ..ops.pallas import sharded as shk
@@ -500,6 +502,7 @@ def _chebyshev_canon(
         cheb_iter = lambda c1, c2, d, rr, x: st.fused_cheb_iter_canon(
             ops, a, b, c1, c2, d, rr, x, invd_c, dim, interpret=interpret,
             tables=tables, diag_tables=diag_tables, force_yb=by_c,
+            force_bz=bz_c,
         )
 
     def ex(s):

@@ -1004,3 +1004,42 @@ def test_fused_ms_mix_matches_unfused(ref, p):
     mask = np.ones(got.shape, bool)
     mask[(slice(None),) + tuple(slice(0, s) for s in spatial)] = False
     np.testing.assert_array_equal(np.asarray(got)[mask], 0.0)
+
+
+@pytest.mark.parametrize("diag", [False, True])
+def test_cheb_bz_geometry_bitwise(diag):
+    """The joint (bz, by) cheb geometry (round-5: bz=16 cuts the
+    d-window DMA re-read that binds the p >= 2 kernels) must not change
+    a single bit: per output element the taps, band weights, and
+    summation order are identical at every slab thickness."""
+    from dealii_spirk_tpu.ops.pallas import stencil as st
+
+    dim, p, ref = 3, 2, 4
+    lev = make_level(ref, p)
+    sp = (lev.m,) * dim
+    ops = level_ops(lev, jnp.float32)
+    rng = np.random.default_rng(7)
+    q = 2
+    pc = lambda u: st.pad_canon(u, sp, p, dim)
+    mk = lambda: pc(jnp.asarray(rng.standard_normal((q,) + sp), jnp.float32))
+    d0, r0, x0 = mk(), mk(), mk()
+    invd = pc(
+        jnp.asarray(
+            np.abs(rng.standard_normal((q,) + sp)) + 0.5, jnp.float32
+        )
+    )
+    a = jnp.asarray([1.3, 0.8], jnp.float32)
+    b, c1, c2 = jnp.float32(0.21), 0.7, 0.4
+    nzp = r0.shape[1]
+    assert nzp % 16 == 0, "pick a shape whose canonical z splits at bz=16"
+    dg = st.cheb_diag_tables(ops, sp, p, dim) if diag else None
+    kw = dict(interpret=True, force_yb=8, diag_tables=dg)
+    outs = [
+        st.fused_cheb_iter_canon(
+            ops, a, b, c1, c2, d0, r0, x0, None if diag else invd, dim,
+            force_bz=bz, **kw,
+        )
+        for bz in (8, 16)
+    ]
+    for g8, g16 in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(g8), np.asarray(g16))
